@@ -1,0 +1,277 @@
+"""Sparse 3D convolutions as gather-matmul-scatter on padded voxel sets.
+
+TPU-native replacement for MinkowskiEngine's convolution stack (reference:
+``ME.MinkowskiConvolution``, ``ME.MinkowskiConvolutionTranspose(
+expand_coordinates=True)``, ``ME.MinkowskiMaxPooling`` — used throughout
+``pasco/maskpls/mink.py`` and ``pasco/models/{encoder_v2,decoder_v3}.py``).
+
+Design notes
+------------
+* The "rulebook" (kernel map) of a sparse conv is expressed as, per kernel
+  offset, a gather of neighbour features followed by a ``[N, Cin] @ [Cin,
+  Cout]`` matmul accumulated into the output.  Offsets are a static python
+  loop, so XLA sees K independent MXU matmuls plus gathers it can overlap.
+* Neighbour lookup uses sorted linear keys + ``searchsorted`` (see
+  ``core.sparse``), not hash tables: this is branch-free, fully vectorised,
+  and reuses one sorted table for all K offsets.
+* The *generative* transposed conv with kernel 2, stride 2 has the key
+  property that every child voxel has exactly one parent, so coordinate
+  expansion is a reshape — ``[N, Cin] @ [Cin, 8*Cout]`` in a single MXU
+  matmul, no deduplication.  This is the op that dominates the reference
+  decoder (``decoder_v3.py:148-172``).
+
+Weight layouts: ``[K, Cin, Cout]`` with offsets ordered by
+:func:`kernel_offsets` (x-major, z-fastest).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pasco_tpu.core.sparse import (
+    Box,
+    SparseGrid,
+    build_table,
+    linear_keys,
+    lookup,
+    unique,
+)
+
+
+def kernel_offsets(kernel_size: int) -> np.ndarray:
+    """Static kernel offset list ``[K, 3]`` in stride units.
+
+    Odd kernels are centred (e.g. ks=3 -> offsets in {-1, 0, 1}^3); even
+    kernels are forward (ks=2 -> {0, 1}^3), matching MinkowskiEngine's
+    convention for stride-2 down/up-sampling convolutions.
+    """
+    if kernel_size % 2 == 1:
+        r = kernel_size // 2
+        rng = range(-r, r + 1)
+    else:
+        rng = range(kernel_size)
+    return np.array(list(itertools.product(rng, rng, rng)), dtype=np.int32)
+
+
+def _accumulate_taps(
+    feats: jnp.ndarray,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    table: Tuple[jnp.ndarray, jnp.ndarray],
+    box: Box,
+    in_stride: int,
+    offsets: np.ndarray,
+    offset_stride: int,
+    weight: jnp.ndarray,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Shared inner loop: for each offset, gather inputs at
+    ``out_coords + offset * offset_stride`` and accumulate ``@ weight[k]``."""
+    sorted_keys, perm = table
+    n_out = out_coords.shape[0]
+    c_out = weight.shape[-1]
+    if compute_dtype is None:
+        compute_dtype = feats.dtype
+    out = jnp.zeros((n_out, c_out), jnp.float32)
+    w = weight.astype(compute_dtype)
+    f = feats.astype(compute_dtype)
+    for k in range(offsets.shape[0]):
+        off = offsets[k]
+        if (off == 0).all():
+            q = out_coords
+        else:
+            shift = jnp.asarray(
+                [0, off[0] * offset_stride, off[1] * offset_stride, off[2] * offset_stride],
+                jnp.int32,
+            )
+            q = out_coords + shift[None, :]
+        qkeys = linear_keys(q, out_mask, box, in_stride)
+        row, found = lookup(sorted_keys, perm, qkeys)
+        tap = jnp.where(found[:, None], f[row], 0)
+        out = out + jnp.dot(tap, w[k], preferred_element_type=jnp.float32)
+    return out
+
+
+def submanifold_conv3d(
+    grid: SparseGrid,
+    box: Box,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> SparseGrid:
+    """Submanifold (stride-1) sparse conv: output coords == input coords.
+
+    ``weight``: ``[K, Cin, Cout]`` with K = ks^3 ordered by
+    :func:`kernel_offsets`.
+    """
+    ks = round(weight.shape[0] ** (1.0 / 3.0))
+    assert ks**3 == weight.shape[0], weight.shape
+    if ks == 1:
+        out = jnp.dot(
+            grid.masked_feats().astype(compute_dtype or grid.feats.dtype),
+            weight[0].astype(compute_dtype or grid.feats.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        offsets = kernel_offsets(ks)
+        keys = linear_keys(grid.coords, grid.mask, box, grid.stride)
+        table = build_table(keys)
+        out = _accumulate_taps(
+            grid.masked_feats(),
+            grid.coords,
+            grid.mask,
+            table,
+            box,
+            grid.stride,
+            offsets,
+            grid.stride,
+            weight,
+            compute_dtype,
+        )
+    if bias is not None:
+        out = out + bias[None, :]
+    out = jnp.where(grid.mask[:, None], out, 0).astype(grid.feats.dtype)
+    return grid.with_feats(out)
+
+
+def strided_conv3d(
+    grid: SparseGrid,
+    box: Box,
+    weight: jnp.ndarray,
+    out_capacity: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> SparseGrid:
+    """Kernel-2 stride-2 downsampling conv (the encoder's down blocks,
+    reference ``encoder_v2.py:124,133,142`` via ``BasicConvolutionBlock(ks=2,
+    stride=2)``).
+
+    Output coordinates are the unique parents ``floor(c / 2s) * 2s``; each
+    parent gathers its up-to-8 children.
+    """
+    assert weight.shape[0] == 8, "strided_conv3d implements ks=2, stride=2"
+    in_stride = grid.stride
+    out_stride = in_stride * 2
+    parent_xyz = (grid.coords[:, 1:] // out_stride) * out_stride
+    parents = jnp.concatenate([grid.coords[:, :1], parent_xyz], axis=-1)
+    out_coords, out_mask, _, _ = unique(
+        parents, grid.mask, box, out_stride, out_capacity
+    )
+
+    keys = linear_keys(grid.coords, grid.mask, box, in_stride)
+    table = build_table(keys)
+    out = _accumulate_taps(
+        grid.masked_feats(),
+        out_coords,
+        out_mask,
+        table,
+        box,
+        in_stride,
+        kernel_offsets(2),
+        in_stride,
+        weight,
+        compute_dtype,
+    )
+    if bias is not None:
+        out = out + bias[None, :]
+    out = jnp.where(out_mask[:, None], out, 0).astype(grid.feats.dtype)
+    return SparseGrid(coords=out_coords, feats=out, mask=out_mask, stride=out_stride)
+
+
+def generative_deconv3d(
+    grid: SparseGrid,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> SparseGrid:
+    """Kernel-2 stride-2 *generative* transposed conv.
+
+    Every input voxel emits 8 children at ``c + offset * (stride/2)``; since
+    a child determines its parent uniquely, the whole op is one matmul
+    ``[N, Cin] @ [Cin, 8*Cout]`` plus a coordinate reshape.  Replacement for
+    ``ME.MinkowskiConvolutionTranspose(ks=2, stride=2,
+    expand_coordinates=True)`` (reference ``mink.py:520-534``).
+
+    Output capacity is ``8 * input capacity``; callers prune/compact next.
+    """
+    assert weight.shape[0] == 8
+    assert grid.stride % 2 == 0, "cannot upsample below stride 1"
+    out_stride = grid.stride // 2
+    n, c_in = grid.feats.shape
+    c_out = weight.shape[-1]
+    cd = compute_dtype or grid.feats.dtype
+    w = weight.astype(cd).transpose(1, 0, 2).reshape(c_in, 8 * c_out)
+    out = jnp.dot(grid.masked_feats().astype(cd), w, preferred_element_type=jnp.float32)
+    out = out.reshape(n, 8, c_out)
+    if bias is not None:
+        out = out + bias[None, None, :]
+
+    offsets = jnp.asarray(kernel_offsets(2), jnp.int32) * out_stride  # [8, 3]
+    child_xyz = grid.coords[:, None, 1:] + offsets[None, :, :]  # [N, 8, 3]
+    child_b = jnp.broadcast_to(grid.coords[:, None, :1], (n, 8, 1))
+    out_coords = jnp.concatenate([child_b, child_xyz], axis=-1).reshape(n * 8, 4)
+    out_mask = jnp.broadcast_to(grid.mask[:, None], (n, 8)).reshape(n * 8)
+    out = jnp.where(out_mask[:, None], out.reshape(n * 8, c_out), 0)
+    return SparseGrid(
+        coords=out_coords,
+        feats=out.astype(grid.feats.dtype),
+        mask=out_mask,
+        stride=out_stride,
+    )
+
+
+def sparse_max_pool(
+    grid: SparseGrid,
+    factor: int,
+    box: Box,
+    out_capacity: int,
+) -> SparseGrid:
+    """Non-overlapping max pooling with kernel = stride = ``factor``.
+
+    Replacement for ``ME.MinkowskiMaxPooling`` as used to downscale attention
+    masks (reference ``transformer_predictor_v2.py:100-102,233-238``).
+    """
+    out_stride = grid.stride * factor
+    parent_xyz = (grid.coords[:, 1:] // out_stride) * out_stride
+    parents = jnp.concatenate([grid.coords[:, :1], parent_xyz], axis=-1)
+    out_coords, out_mask, seg_ids, out_feats = unique(
+        parents,
+        grid.mask,
+        box,
+        out_stride,
+        out_capacity,
+        feats=grid.masked_feats(),
+        reduce="max",
+    )
+    return SparseGrid(
+        coords=out_coords,
+        feats=out_feats.astype(grid.feats.dtype),
+        mask=out_mask,
+        stride=out_stride,
+    )
+
+
+def lookup_features(
+    src: SparseGrid,
+    query_coords: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    box: Box,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather ``src`` features at ``query_coords`` (same stride).
+
+    Returns ``(feats [Nq, C], found [Nq])``; missing queries get zeros.  Used
+    for U-Net skip connections: the reference adds sparse tensors on a shared
+    coordinate manager (``decoder_v3.py:163``); here the encoder shortcut is
+    looked up at the decoder's generated coordinates.
+    """
+    keys = linear_keys(src.coords, src.mask, box, src.stride)
+    table = build_table(keys)
+    qkeys = linear_keys(query_coords, query_mask, box, src.stride)
+    row, found = lookup(*table, qkeys)
+    feats = jnp.where(found[:, None], src.feats[row], 0)
+    return feats, found
