@@ -1,0 +1,254 @@
+"""Typed configuration tree for the TPU-native PaSCo framework.
+
+The reference has no config system — hyperparameters are `click` CLI flags
+(`scripts/train.py:20-67`) plus constants hard-coded in constructors
+(`pasco/models/net_panoptic_sparse.py:41-208`, `decoder_v3.py:210-235`).
+Here everything lives in one frozen dataclass tree so that (a) a model
+configuration is a hashable static argument to ``jax.jit``, (b) checkpoint
+metadata can serialise the full config next to the weights, and (c) the
+static *capacities* (padded voxel-set sizes) that make dynamic sparsity
+XLA-compatible are explicit and auditable.
+
+Capacity design: every sparse tensor in the network is a padded
+:class:`~pasco_tpu.core.sparse.SparseGrid` whose row count is fixed by this
+config.  The reference already imposes hard voxel caps during decoding
+(``occ_thres``, ``decoder_v3.py:210-235``), so the capacities below are the
+same quantities made explicit, rounded up to multiples of 128 lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _r128(x: int) -> int:
+    """Round up to a multiple of 128 (TPU lane width)."""
+    return -(-int(x) // 128) * 128
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static padded sizes of every sparse stage of the network.
+
+    Defaults are sized for SemanticKITTI scenes (256x256x32 voxels @0.2 m)
+    with the reference voxel caps (``decoder_v3.py:210-235``, n_infers<=2:
+    {4: 25k, 2: 120k, 1: 400k}).
+    """
+
+    num_points: int = 163840          # raw LiDAR points fed to CylinderFeat
+    enc_s1: int = 131072              # stride-1 input voxels (union of subnets)
+    enc_s2: int = 65536
+    enc_s4: int = 32768
+    enc_s8: int = 16384
+    # Dense-bottleneck output: every stride-8 cell of the static working box
+    # can be occupied after ME.to_sparse (48*48*8 for the default box).
+    bottleneck: int = 18432
+    # Upsampled stride-4 set before the occupancy cap: the generative deconv
+    # of the (dense) bottleneck emits all children inside the global bbox.
+    ups_s4: int = _r128(52000)
+    # Decoder voxel caps per output scale == reference ``agg_occ_thres``
+    # (decoder_v3.py:231-235) rounded to lanes.
+    dec_s4: int = _r128(30000)
+    dec_s2: int = _r128(100000)
+    dec_s1: int = _r128(400000)
+    # Per-subnet pruned voxel sets fed to the mask transformer
+    # (decoder_v3.py:396-451); each subnet keeps at most this many voxels
+    # per scale.
+    panop_s4: int = _r128(20000)
+    panop_s2: int = _r128(65000)
+    panop_s1: int = _r128(150000)
+
+    def scaled(self, factor: float) -> "CapacityConfig":
+        """Uniformly scale all capacities (tiny configs for tests)."""
+        return CapacityConfig(
+            **{
+                f.name: max(128, _r128(getattr(self, f.name) * factor))
+                for f in dataclasses.fields(self)
+            }
+        )
+
+    def dec_capacity(self, scale: int) -> int:
+        return {4: self.dec_s4, 2: self.dec_s2, 1: self.dec_s1}[scale]
+
+    def panop_capacity(self, scale: int) -> int:
+        return {4: self.panop_s4, 2: self.panop_s2, 1: self.panop_s1}[scale]
+
+    def enc_capacity(self, stride: int) -> int:
+        return {1: self.enc_s1, 2: self.enc_s2, 4: self.enc_s4, 8: self.enc_s8}[
+            stride
+        ]
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """Mask transformer (Mask2Former-style) hyperparameters.
+
+    Reference: ``TransformerPredictorV2`` built in
+    ``net_panoptic_sparse.py:108-121`` (hidden 384, 8 heads, FFN 1024,
+    100 queries, src scales [4, 2, 1]).
+    """
+
+    hidden_dim: int = 384
+    num_heads: int = 8
+    dim_feedforward: int = 1024
+    num_queries: int = 100
+    src_scales: Tuple[int, ...] = (4, 2, 1)
+    mask_dim: int = 64                # channels of the scale-1 mask features
+    dropout: float = 0.0
+    kv_chunk: int = 8192              # KV chunk for online-softmax attention
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the MIMO sparse generative U-Net.
+
+    Reference: ``UNet3DV2`` (``unet3d_sparse_v2.py:89-256``) with
+    ``f_maps=[f, 2f, 4f, 4f]``, f=64 (``net_panoptic_sparse.py:124-135``).
+    """
+
+    n_classes: int = 20               # incl. empty class 0
+    in_channels: int = 27 + 256       # per-point features (SemKITTI WaffleIron)
+    f: int = 64
+    n_infers: int = 1                 # MIMO subnets sharing the backbone
+    heavy_decoder: bool = False       # released config (train.py:58)
+    num_queries: int = 100
+    query_sample_ratio: float = 1.0
+    encoder_dropouts: Tuple[float, ...] = (0.05, 0.0, 0.0, 0.0, 0.0, 0.0)
+    decoder_dropouts: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0)
+    dense3d_dropout: float = 0.0
+    transformer_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    use_se_layer: bool = False
+    compute_dtype: str = "float32"    # "bfloat16" on TPU hot path
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+
+    @property
+    def f_maps(self) -> Tuple[int, int, int, int]:
+        return (self.f, self.f * 2, self.f * 4, self.f * 4)
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    """Voxel-scene geometry.
+
+    SemanticKITTI SSC: 256x256x32 voxels of 0.2 m covering
+    [0, 51.2] x [-25.6, 25.6] x [-2, 4.4] m
+    (``kitti_dataset.py:86-89``).  ``box_extent`` is the static extent of
+    the axis-aligned working box that contains every augmented subnet scene
+    (augmentation rotates/translates the canonical grid, so the union bbox
+    can exceed the canonical scene; collate rounds it to ``complete_scale``).
+    """
+
+    scene_size: Tuple[int, int, int] = (256, 256, 32)
+    voxel_size: float = 0.2
+    point_cloud_range: Tuple[float, ...] = (0.0, -25.6, -2.0, 51.2, 25.6, 4.4)
+    box_extent: Tuple[int, int, int] = (384, 384, 64)
+    complete_scale: int = 8
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference ``net_panoptic_sparse.py:141-166`` with
+    CLI defaults ``scripts/train.py:53``: mask_weight=40)."""
+
+    ce_weight: float = 2.0
+    mask_weight: float = 40.0
+    dice_weight: float = 1.0
+    ssc_ce_weight: float = 0.3
+    ssc_lovasz_weight: float = 1.0
+    occ_weight: float = 1.0
+    no_object_weight: float = 0.1
+    cost_class: float = 1.0
+    use_voxel_query_loss: bool = True
+    alpha: float = 0.1                # focal loss alpha
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + warmup-cosine schedule (reference
+    ``net_panoptic_sparse.py:887-903``, ``pasco/utils/torch_util.py:75-96``,
+    grad clip 0.5 ``scripts/train.py:209,228``)."""
+
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    grad_clip: float = 0.5
+    warmup_steps: int = 1000
+    max_steps: int = 60 * 2000
+    betas: Tuple[float, float] = (0.9, 0.999)
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Panoptic assembly + ensembling thresholds
+    (``net_panoptic_sparse.py:55-56,82-83``, ``helper.py:91-303``)."""
+
+    object_mask_threshold: float = 0.7
+    overlap_threshold: float = 0.4
+    vox_occ_threshold: float = 0.3
+    iou_threshold: float = 0.2        # ensembler mean-IoU keep threshold
+    ensemble_confidence_type: str = "max_prob"
+    max_segments: int = 128           # static cap on panoptic segments
+
+
+@dataclass(frozen=True)
+class PaSCoConfig:
+    """Root config."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    scene: SceneConfig = field(default_factory=SceneConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    thing_ids: Tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8)  # SemKITTI things
+
+    def replace(self, **kw) -> "PaSCoConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def kitti360_config(n_infers: int = 1) -> PaSCoConfig:
+    """SSCBench-KITTI360 variant: 19 classes, 8 raw in-channels, things 1..6
+    (reference ``net_panoptic_sparse_kitti360.py:27-90``,
+    ``data/kitti360/params.py:35-59``)."""
+    base = PaSCoConfig()
+    return base.replace(
+        model=dataclasses.replace(
+            base.model, n_classes=19, in_channels=8, n_infers=n_infers
+        ),
+        thing_ids=(1, 2, 3, 4, 5, 6),
+    )
+
+
+def tiny_config(n_infers: int = 1, n_classes: int = 20) -> PaSCoConfig:
+    """Small config for unit tests / CPU mesh dry-runs."""
+    base = PaSCoConfig()
+    return base.replace(
+        model=dataclasses.replace(
+            base.model,
+            f=16,
+            n_infers=n_infers,
+            n_classes=n_classes,
+            in_channels=8,
+            transformer=TransformerConfig(
+                hidden_dim=48, num_heads=4, dim_feedforward=64, num_queries=10,
+                mask_dim=16, kv_chunk=256,
+            ),
+            num_queries=10,
+        ),
+        scene=SceneConfig(
+            scene_size=(32, 32, 8),
+            box_extent=(64, 64, 16),
+        ),
+        capacity=CapacityConfig(
+            num_points=2048,
+            enc_s1=2048, enc_s2=1024, enc_s4=512, enc_s8=256,
+            bottleneck=128, ups_s4=1024,
+            dec_s4=512, dec_s2=1024, dec_s1=4096,
+            panop_s4=256, panop_s2=512, panop_s1=1024,
+        ),
+    )

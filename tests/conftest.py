@@ -1,12 +1,15 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to expose 8 XLA CPU devices, as recommended for mesh testing.
+platform to expose 8 XLA CPU devices.  The environment pins
+``JAX_PLATFORMS=axon`` (the tunnelled TPU); tests must override it — eager
+op-by-op dispatch over the tunnel is seconds per primitive, and mesh tests
+need 8 devices.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: full-model compiles are minutes on CPU; the
+# cache makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pasco_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
