@@ -1,0 +1,67 @@
+"""Benchmark: flagship model (PaSCo-single, SemanticKITTI config) on one chip.
+
+Measures end-to-end jitted forward throughput (scans/sec) on a synthetic
+SemanticKITTI-sized scan, the same quantity the reference reports as
+"inference time" (0.703 s/scan on a V100-32G for PaSCo-single,
+reference README.md:411 — the timed region is the UNet forward,
+``net_panoptic_sparse.py:228-250``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over the reference V100 number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SCAN_SEC = 0.703  # reference PaSCo-single inference time on V100
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: the axon TPU backend compiles sort/scatter
+    # primitives at ~5-20 s each, so the first full-model compile is tens of
+    # minutes; the cache makes every later run start in seconds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pasco_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from __graft_entry__ import entry
+
+    forward, (variables, inp) = entry()
+    fn = jax.jit(forward)
+
+    # Warmup / compile.
+    out = fn(variables, inp)
+    jax.block_until_ready(out)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables, inp)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    scans_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "inference_scans_per_sec",
+                "value": round(scans_per_sec, 3),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec * BASELINE_SCAN_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

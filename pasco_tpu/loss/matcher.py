@@ -108,7 +108,15 @@ def match(
     cost_dice: float,
 ) -> jnp.ndarray:
     """Full matching cost + LSA (reference
-    ``memory_efficient_forward``, ``matcher_sparse.py:100-165``)."""
+    ``memory_efficient_forward``, ``matcher_sparse.py:100-165``).
+
+    The whole matching is non-differentiable (reference decorates it
+    ``@torch.no_grad()``); stop_gradient here also keeps the host callback
+    out of the JVP graph.
+    """
+    query_logits = jax.lax.stop_gradient(query_logits)
+    voxel_logits = jax.lax.stop_gradient(voxel_logits)
+    tgt_onehot = jax.lax.stop_gradient(tgt_onehot)
     out_prob = jax.nn.softmax(query_logits.astype(jnp.float32), axis=-1)
     cc = -out_prob[:, jnp.clip(tgt_labels, 0, query_logits.shape[-1] - 1)]
     cd = batch_dice_cost(voxel_logits, tgt_onehot, voxel_valid)

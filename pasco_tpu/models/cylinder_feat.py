@@ -13,7 +13,7 @@ TPU-native equivalents of:
   tensor and concatenates subnets along channels to get ONE batch-1 sparse
   tensor with ``n_infers * f`` channels on the *union* of subnet coords.
   Densifying a 256^2x32 grid just to take a union is wasteful on TPU; we
-  compute the union directly with a second sort-based unique and scatter
+  compute the union directly with a second dense-table unique and scatter
   each subnet's features into its channel block.
 """
 
@@ -74,6 +74,7 @@ class CylinderFeat(nn.Module):
             capacity=self.voxel_capacity,
             feats=f,
             reduce="max",
+            max_batch=n_infers,
         )
         return SparseGrid(coords=coords, feats=feats, mask=mask, stride=1)
 

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pasco_tpu.core.config import TransformerConfig
-from pasco_tpu.core.sparse import Box, SparseGrid, build_table, linear_keys, lookup
+from pasco_tpu.core.sparse import (
+    Box,
+    SparseGrid,
+    build_dense_table,
+    linear_keys,
+    lookup_dense_table,
+)
 from pasco_tpu.models.blocks import MLP
 from pasco_tpu.ops.attention import masked_cross_attention, self_attention
 
@@ -129,10 +135,8 @@ def downscale_attn_allowed(
         grid1.stride * scale
     )
     parents = jnp.concatenate([grid1.coords[:, :1], parent_xyz], axis=-1)
-    skeys = linear_keys(grid_s.coords, grid_s.mask, box, grid_s.stride)
-    table = build_table(skeys)
-    qkeys = linear_keys(parents, grid1.mask, box, grid_s.stride)
-    row, found = lookup(*table, qkeys)
+    table = build_dense_table(grid_s.coords, grid_s.mask, box, grid_s.stride)
+    row, found = lookup_dense_table(table, parents, grid1.mask, box, grid_s.stride)
     row = jnp.where(found, row, grid_s.capacity)
     allowed = (
         jnp.zeros((grid_s.capacity + 1, keep.shape[1]), jnp.bool_)

@@ -11,9 +11,9 @@ Design notes
   offset, a gather of neighbour features followed by a ``[N, Cin] @ [Cin,
   Cout]`` matmul accumulated into the output.  Offsets are a static python
   loop, so XLA sees K independent MXU matmuls plus gathers it can overlap.
-* Neighbour lookup uses sorted linear keys + ``searchsorted`` (see
-  ``core.sparse``), not hash tables: this is branch-free, fully vectorised,
-  and reuses one sorted table for all K offsets.
+* Neighbour lookup uses a dense cell->row table over the bounded working
+  box (see ``core.sparse``): one scatter to build, one gather per query —
+  no sorting or hashing, and one table serves all K offsets.
 * The *generative* transposed conv with kernel 2, stride 2 has the key
   property that every child voxel has exactly one parent, so coordinate
   expansion is a reshape — ``[N, Cin] @ [Cin, 8*Cout]`` in a single MXU
@@ -36,9 +36,11 @@ import numpy as np
 from pasco_tpu.core.sparse import (
     Box,
     SparseGrid,
+    build_dense_table,
     build_table,
     linear_keys,
     lookup,
+    lookup_dense_table,
     unique,
 )
 
@@ -48,10 +50,9 @@ class Rulebook(NamedTuple):
     coordinate set: for every kernel offset k and output row n, the input
     row to gather and whether it exists.
 
-    Building this costs one sort + K searchsorted lookups; every
-    submanifold conv on the same coordinates then reuses it, which is the
-    main compile-time and runtime saver (the reference's CoordinateManager
-    caches kernel maps the same way).
+    Built once per coordinate set and reused by every conv on those
+    coordinates (the reference's CoordinateManager caches kernel maps the
+    same way).
     """
 
     rows: jnp.ndarray   # [K, N] int32 gather row (0 where absent)
@@ -65,10 +66,15 @@ def build_rulebook(
     stride: int,
     kernel_size: int,
 ) -> Rulebook:
-    """Rulebook for a submanifold conv (output coords == input coords)."""
+    """Rulebook for a submanifold conv (output coords == input coords).
+
+    Uses a dense cell->row table (one scatter) and K gathers — no sorting;
+    on this TPU backend each sort/searchsorted costs ~10-20 s of compile
+    and a binary search per probe, while the dense table is one O(1)
+    gather per query (the box is bounded, so the table is tens of MB).
+    """
     offsets = kernel_offsets(kernel_size)
-    keys = linear_keys(coords, mask, box, stride)
-    sorted_keys, perm = build_table(keys)
+    table = build_dense_table(coords, mask, box, stride)
     rows, founds = [], []
     for k in range(offsets.shape[0]):
         off = offsets[k]
@@ -80,8 +86,9 @@ def build_rulebook(
         shift = jnp.asarray(
             [0, off[0] * stride, off[1] * stride, off[2] * stride], jnp.int32
         )
-        qkeys = linear_keys(coords + shift[None, :], mask, box, stride)
-        row, found = lookup(sorted_keys, perm, qkeys)
+        row, found = lookup_dense_table(
+            table, coords + shift[None, :], mask, box, stride
+        )
         rows.append(row.astype(jnp.int32))
         founds.append(found)
     return Rulebook(rows=jnp.stack(rows), found=jnp.stack(founds))
@@ -111,7 +118,8 @@ def conv_with_rulebook(
         t = jnp.where(found[:, None], f[rows], 0)
         return acc + jnp.dot(t, wk, preferred_element_type=jnp.float32), None
 
-    out0 = jnp.zeros((feats.shape[0], cout), jnp.float32)
+    n_out = rb.rows.shape[1]  # may differ from len(feats) for strided convs
+    out0 = jnp.zeros((n_out, cout), jnp.float32)
     out, _ = jax.lax.scan(tap, out0, (rb.rows, rb.found, w))
     if bias is not None:
         out = out + bias[None, :]
@@ -133,45 +141,6 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
     return np.array(list(itertools.product(rng, rng, rng)), dtype=np.int32)
 
 
-def _accumulate_taps(
-    feats: jnp.ndarray,
-    out_coords: jnp.ndarray,
-    out_mask: jnp.ndarray,
-    table: Tuple[jnp.ndarray, jnp.ndarray],
-    box: Box,
-    in_stride: int,
-    offsets: np.ndarray,
-    offset_stride: int,
-    weight: jnp.ndarray,
-    compute_dtype=None,
-) -> jnp.ndarray:
-    """Shared inner loop: for each offset, gather inputs at
-    ``out_coords + offset * offset_stride`` and accumulate ``@ weight[k]``."""
-    sorted_keys, perm = table
-    n_out = out_coords.shape[0]
-    c_out = weight.shape[-1]
-    if compute_dtype is None:
-        compute_dtype = feats.dtype
-    out = jnp.zeros((n_out, c_out), jnp.float32)
-    w = weight.astype(compute_dtype)
-    f = feats.astype(compute_dtype)
-    for k in range(offsets.shape[0]):
-        off = offsets[k]
-        if (off == 0).all():
-            q = out_coords
-        else:
-            shift = jnp.asarray(
-                [0, off[0] * offset_stride, off[1] * offset_stride, off[2] * offset_stride],
-                jnp.int32,
-            )
-            q = out_coords + shift[None, :]
-        qkeys = linear_keys(q, out_mask, box, in_stride)
-        row, found = lookup(sorted_keys, perm, qkeys)
-        tap = jnp.where(found[:, None], f[row], 0)
-        out = out + jnp.dot(tap, w[k], preferred_element_type=jnp.float32)
-    return out
-
-
 def submanifold_conv3d(
     grid: SparseGrid,
     box: Box,
@@ -184,7 +153,7 @@ def submanifold_conv3d(
 
     ``weight``: ``[K, Cin, Cout]`` with K = ks^3 ordered by
     :func:`kernel_offsets`.  Pass a precomputed ``rulebook`` to share the
-    sorted-key neighbour lookup between all convs on the same coordinates.
+    neighbour lookup between all convs on the same coordinates.
     """
     ks = round(weight.shape[0] ** (1.0 / 3.0))
     assert ks**3 == weight.shape[0], weight.shape
@@ -230,19 +199,23 @@ def strided_conv3d(
         parents, grid.mask, box, out_stride, out_capacity
     )
 
-    keys = linear_keys(grid.coords, grid.mask, box, in_stride)
-    table = build_table(keys)
-    out = _accumulate_taps(
-        grid.masked_feats(),
-        out_coords,
-        out_mask,
-        table,
-        box,
-        in_stride,
-        kernel_offsets(2),
-        in_stride,
-        weight,
-        compute_dtype,
+    table = build_dense_table(grid.coords, grid.mask, box, in_stride)
+    offsets = kernel_offsets(2)
+    rows, founds = [], []
+    for k in range(8):
+        off = offsets[k]
+        shift = jnp.asarray(
+            [0, off[0] * in_stride, off[1] * in_stride, off[2] * in_stride],
+            jnp.int32,
+        )
+        row, found = lookup_dense_table(
+            table, out_coords + shift[None, :], out_mask, box, in_stride
+        )
+        rows.append(row.astype(jnp.int32))
+        founds.append(found)
+    rb = Rulebook(rows=jnp.stack(rows), found=jnp.stack(founds))
+    out = conv_with_rulebook(
+        grid.masked_feats(), rb, weight, None, compute_dtype
     )
     if bias is not None:
         out = out + bias[None, :]
@@ -336,9 +309,9 @@ def lookup_features(
     coordinate manager (``decoder_v3.py:163``); here the encoder shortcut is
     looked up at the decoder's generated coordinates.
     """
-    keys = linear_keys(src.coords, src.mask, box, src.stride)
-    table = build_table(keys)
-    qkeys = linear_keys(query_coords, query_mask, box, src.stride)
-    row, found = lookup(*table, qkeys)
+    table = build_dense_table(src.coords, src.mask, box, src.stride)
+    row, found = lookup_dense_table(
+        table, query_coords, query_mask, box, src.stride
+    )
     feats = jnp.where(found[:, None], src.feats[row], 0)
     return feats, found

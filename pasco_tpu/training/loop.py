@@ -1,0 +1,206 @@
+"""Training loop: data feeding, jitted steps, logging, checkpointing.
+
+TPU-native replacement for the reference's PyTorch-Lightning runtime
+(``Net`` + ``Trainer`` wiring in ``scripts/train.py:176-239``): a plain
+loop around one jitted train step, with background host-side data
+preparation, periodic validation through the full inference pipeline, and
+top-k checkpointing on the monitored PQ-dagger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pasco_tpu.core.config import PaSCoConfig
+from pasco_tpu.data.semantic_kitti.collate import CollatedScene, collate
+from pasco_tpu.inference.pipeline import Evaluator, run_scene_inference
+from pasco_tpu.models.unet import PaSCoNet
+from pasco_tpu.training import step as tstep
+from pasco_tpu.training.checkpoint import CheckpointManager
+
+
+class MetricLogger:
+    """JSONL metric log + optional TensorBoard (via torch, if present)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def log(self, step: int, scalars: Dict[str, float], prefix: str = ""):
+        rec = {"step": int(step)}
+        for k, v in scalars.items():
+            key = f"{prefix}{k}"
+            try:
+                rec[key] = float(v)
+            except (TypeError, ValueError):
+                continue
+            if self._tb is not None:
+                self._tb.add_scalar(key, rec[key], step)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _prefetch(iterator: Iterable, size: int = 2):
+    """Host-side prefetch thread (the reference uses DataLoader workers)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = object()
+
+    def worker():
+        for item in iterator:
+            q.put(item)
+        q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+
+
+def scene_iterator(dataset, cfg: PaSCoConfig, indices, max_targets=64):
+    for i in indices:
+        subnets = dataset[i]
+        yield collate(subnets, cfg, max_targets=max_targets)
+
+
+def train(
+    cfg: PaSCoConfig,
+    dataset,
+    val_dataset=None,
+    n_epochs: int = 60,
+    log_dir: str = "logs/pasco_tpu",
+    class_frequencies=None,
+    seed: int = 0,
+    limit_train_batches: Optional[int] = None,
+    limit_val_batches: Optional[int] = None,
+    ckpt_every_epochs: int = 1,
+    lr_mode: str = "reference",
+    pretrain_sem_epochs: Optional[int] = None,
+):
+    """Single-chip training entry point (DP variant lives in
+    ``pasco_tpu/parallel/mesh.py``)."""
+    from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
+
+    freqs = class_frequencies or CLASS_FREQUENCIES
+    net = PaSCoNet(cfg)
+    lw = tstep.labelweights_for(cfg, freqs)
+    cw = jnp.asarray(
+        tstep.class_weight_vector(cfg.model.n_classes, cfg.loss.no_object_weight)
+    )
+    # Sem-only pretraining epochs for large ensembles
+    # (net_panoptic_sparse.py:93-98).
+    if pretrain_sem_epochs is None:
+        pretrain_sem_epochs = {4: 2, 3: 1}.get(cfg.model.n_infers, 0)
+
+    rng = np.random.RandomState(seed)
+    first = collate(dataset[0], cfg)
+    state, tx = tstep.create_train_state(
+        net, cfg, tstep.scene_to_model_input(first), lw,
+        jax.random.PRNGKey(seed),
+    )
+
+    logger = MetricLogger(log_dir)
+    ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"), cfg)
+
+    # Auto-resume from the latest checkpoint, mirroring the reference's
+    # resume-if-exists + SLURM-requeue recovery (scripts/train.py:194-218):
+    # preempted runs restart from the last saved state with no flags.
+    try:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}")
+    except Exception:
+        pass
+
+    step_fns = {
+        flag: jax.jit(
+            partial(
+                tstep.train_step,
+                net=net, tx=tx, labelweights=lw, class_weight=cw, cfg=cfg,
+                is_predict_panop=flag,
+            )
+        )
+        for flag in ({True} if pretrain_sem_epochs == 0 else {True, False})
+    }
+
+    global_step = 0
+    for epoch in range(n_epochs):
+        is_panop = epoch >= pretrain_sem_epochs
+        step_fn = step_fns[is_panop]
+        order = rng.permutation(len(dataset))
+        if limit_train_batches:
+            order = order[:limit_train_batches]
+        t_epoch = time.time()
+        for scene in _prefetch(scene_iterator(dataset, cfg, order)):
+            inp = tstep.scene_to_model_input(scene)
+            tgt = tstep.targets_to_device(scene.targets)
+            state, logs = step_fn(state, inp, tgt, jax.random.PRNGKey(seed))
+            global_step += 1
+            if global_step % 20 == 0:
+                logger.log(
+                    global_step,
+                    {k: v for k, v in logs.items()},
+                    prefix="train/",
+                )
+        epoch_time = time.time() - t_epoch
+
+        monitor = 0.0
+        if val_dataset is not None:
+            monitor = validate(
+                cfg, net, state, val_dataset, lw, logger, global_step,
+                limit_val_batches,
+            )
+        logger.log(global_step, {"epoch": epoch, "epoch_time": epoch_time})
+        if (epoch + 1) % ckpt_every_epochs == 0:
+            ckpt.save(global_step, state, {"monitor": monitor})
+    ckpt.wait()
+    return state
+
+
+def validate(
+    cfg, net, state, val_dataset, labelweights, logger, global_step,
+    limit_batches=None,
+) -> float:
+    """Validation pass: full inference + PQ-dagger monitor (the quantity
+    the reference checkpoints on, ``scripts/train.py:180-189``)."""
+    evaluator = Evaluator(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(
+        lambda v, i: net.apply(v, i, labelweights, train=False)
+    )
+    n = len(val_dataset)
+    indices = range(n if not limit_batches else min(n, limit_batches))
+    for scene in _prefetch(scene_iterator(val_dataset, cfg, indices)):
+        inp = tstep.scene_to_model_input(scene)
+        results = run_scene_inference(fwd, variables, inp, scene, cfg)
+        evaluator.add_scene(
+            results,
+            scene.semantic_label_origin,
+            scene.instance_label_origin,
+            eval_list=[0, cfg.model.n_infers],
+            compute_uncertainty=False,
+        )
+    summaries = evaluator.summary()
+    monitor = summaries[-1]["pq_all"]["pq_dagger"]
+    logger.log(global_step, {"pq_dagger_all": monitor}, prefix="val/")
+    return float(monitor)

@@ -1,0 +1,133 @@
+"""Unit tests for loss primitives against independent torch references."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pasco_tpu.loss.losses import (
+    dice_loss,
+    sigmoid_focal_loss,
+    weighted_cross_entropy,
+)
+from pasco_tpu.loss.lovasz import lovasz_softmax
+from pasco_tpu.loss.matcher import batch_dice_cost, batch_focal_cost
+
+
+def test_weighted_ce_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    r = np.random.RandomState(0)
+    logits = r.randn(50, 5).astype(np.float32)
+    labels = r.randint(0, 5, 50)
+    w = r.rand(5).astype(np.float32) + 0.1
+    valid = r.rand(50) > 0.3
+
+    ours = weighted_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid), jnp.asarray(w)
+    )
+    ref = F.cross_entropy(
+        torch.tensor(logits[valid]),
+        torch.tensor(labels[valid]),
+        weight=torch.tensor(w),
+    )
+    assert abs(float(ours) - float(ref)) < 1e-5
+
+
+def test_focal_matches_torch_formula():
+    import torch
+    import torch.nn.functional as F
+
+    r = np.random.RandomState(1)
+    x = r.randn(30, 4).astype(np.float32)
+    t = (r.rand(30, 4) > 0.5).astype(np.float32)
+    ours = np.asarray(sigmoid_focal_loss(jnp.asarray(x), jnp.asarray(t)))
+
+    xt, tt = torch.tensor(x), torch.tensor(t)
+    prob = xt.sigmoid()
+    ce = F.binary_cross_entropy_with_logits(xt, tt, reduction="none")
+    p_t = prob * tt + (1 - prob) * (1 - tt)
+    ref = ce * (1 - p_t) ** 2
+    ref = (0.25 * tt + 0.75 * (1 - tt)) * ref
+    assert np.allclose(ours, ref.numpy(), atol=1e-5)
+
+
+def test_dice_with_mask():
+    r = np.random.RandomState(2)
+    x = r.randn(40, 3).astype(np.float32)
+    t = (r.rand(40, 3) > 0.5).astype(np.float32)
+    valid = r.rand(40) > 0.25
+    ours = np.asarray(
+        dice_loss(jnp.asarray(x), jnp.asarray(t), jnp.asarray(valid))
+    )
+    # Manual: restrict to valid rows.
+    p = 1 / (1 + np.exp(-x[valid]))
+    tv = t[valid]
+    ref = 1 - (2 * (p * tv).sum(0) + 1) / (p.sum(0) + tv.sum(0) + 1)
+    assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_lovasz_padding_invariance():
+    """Invalid rows must not change the loss."""
+    r = np.random.RandomState(3)
+    logits = r.randn(60, 6).astype(np.float32)
+    labels = r.randint(0, 6, 60)
+    valid = np.ones(60, bool)
+    base = float(
+        lovasz_softmax(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid))
+    )
+    # Append garbage padding rows.
+    logits_p = np.concatenate([logits, r.randn(25, 6).astype(np.float32) * 10])
+    labels_p = np.concatenate([labels, r.randint(0, 6, 25)])
+    valid_p = np.concatenate([valid, np.zeros(25, bool)])
+    padded = float(
+        lovasz_softmax(
+            jnp.asarray(logits_p), jnp.asarray(labels_p), jnp.asarray(valid_p)
+        )
+    )
+    assert abs(base - padded) < 1e-5
+
+
+def test_lovasz_perfect_prediction_is_zero():
+    labels = np.array([0, 1, 2, 1, 0])
+    logits = np.full((5, 3), -20.0, np.float32)
+    logits[np.arange(5), labels] = 20.0
+    loss = float(
+        lovasz_softmax(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.ones(5, dtype=bool)
+        )
+    )
+    assert loss < 1e-5
+
+
+def test_batch_costs_match_elementwise():
+    """Pairwise cost matrices must agree with per-pair elementwise losses."""
+    r = np.random.RandomState(4)
+    n, q, t = 30, 4, 3
+    x = r.randn(n, q).astype(np.float32)
+    tgt = (r.rand(n, t) > 0.5).astype(np.float32)
+    valid = np.ones(n, bool)
+
+    dc = np.asarray(
+        batch_dice_cost(jnp.asarray(x), jnp.asarray(tgt), jnp.asarray(valid))
+    )
+    fc = np.asarray(
+        batch_focal_cost(jnp.asarray(x), jnp.asarray(tgt), jnp.asarray(valid))
+    )
+    for qi in range(q):
+        for ti in range(t):
+            d = float(
+                dice_loss(
+                    jnp.asarray(x[:, qi : qi + 1]),
+                    jnp.asarray(tgt[:, ti : ti + 1]),
+                    jnp.asarray(valid),
+                )[0]
+            )
+            assert abs(d - dc[qi, ti]) < 1e-5
+            f = np.asarray(
+                sigmoid_focal_loss(
+                    jnp.asarray(x[:, qi : qi + 1]), jnp.asarray(tgt[:, ti : ti + 1])
+                )
+            ).mean()
+            assert abs(f - fc[qi, ti]) < 1e-5
