@@ -43,12 +43,17 @@ def main():
     out = fn(variables, inp)
     jax.block_until_ready(out)
 
+    # Block every iteration: on this backend, blocking only on the final
+    # dispatch of a loop under-reports (async dispatches appear to complete
+    # early), so each sample is an honest round trip.
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         out = fn(variables, inp)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+        jax.block_until_ready(out)
+        samples.append(time.perf_counter() - t0)
+    dt = sorted(samples)[len(samples) // 2]
 
     scans_per_sec = 1.0 / dt
     print(

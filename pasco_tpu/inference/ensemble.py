@@ -190,3 +190,18 @@ def ssc_confidence(
         ent = -(p * np.log(np.maximum(p, 1e-12))).sum(0) / np.log(p.shape[0])
         return 1.0 - ent
     raise ValueError(kind)
+
+
+def ensemble_occ(
+    occ_probs_dense: List[np.ndarray],   # per subnet [1, X', Y', Z'] probs
+    subnet_mins: List[np.ndarray],
+    Ts: List[np.ndarray],
+    out_size: Sequence[int] = (256, 256, 32),
+) -> np.ndarray:
+    """Mean canonical-frame occupancy probability over subnets
+    (reference ``ensemble_occ``, ``ensembler.py:133-157``)."""
+    outs = [
+        resample_to_canonical(p, mn, T, out_size)
+        for p, mn, T in zip(occ_probs_dense, subnet_mins, Ts)
+    ]
+    return np.mean(np.stack(outs, 0), axis=0)

@@ -133,3 +133,15 @@ def compute_sem_compl_loss(
             ces.append(ce)
             lovs.append(lov)
     return jnp.mean(jnp.stack(ces)), jnp.mean(jnp.stack(lovs))
+
+
+def jsd(p_logits: jnp.ndarray, q_logits: jnp.ndarray) -> jnp.ndarray:
+    """Jensen-Shannon divergence between two categorical logit sets
+    (reference ``SetCriterion.JSD``, ``criterion_sparse.py:211-239``; used
+    by the query-consistency regulariser)."""
+    p = jax.nn.softmax(p_logits, axis=-1) + 1e-8
+    q = jax.nn.softmax(q_logits, axis=-1) + 1e-8
+    m = 0.5 * (p + q)
+    kl_pm = jnp.sum(p * (jnp.log(p) - jnp.log(m)), axis=-1)
+    kl_qm = jnp.sum(q * (jnp.log(q) - jnp.log(m)), axis=-1)
+    return 0.5 * jnp.mean(kl_pm + kl_qm)

@@ -23,6 +23,48 @@ from pasco_tpu.core.sparse import Box, SparseGrid, from_dense, to_dense
 from pasco_tpu.models.norm import DenseBatchNorm
 
 
+def shift_matmul_conv3d(
+    x: jnp.ndarray,            # [B, X, Y, Z, C]
+    w: jnp.ndarray,            # [kx, ky, kz, C, D]
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """'Same'-padded dense 3D conv as a scan of shift + MXU matmul taps.
+
+    XLA's native spatial convolution on this backend compiles these
+    anisotropic (7,7,5)x256ch shapes at ~1 min *per conv* (the SCPNet
+    block alone cost 14 min of compile) and runs them at a few TFLOPs.
+    Expressing the conv as K = kx*ky*kz shifted ``[N, C] @ [C, D]`` matmuls
+    under ``lax.scan`` compiles in seconds and keeps the MXU fed.
+    """
+    b, X, Y, Z, c = x.shape
+    kx, ky, kz = w.shape[:3]
+    d = w.shape[-1]
+    cd = compute_dtype or x.dtype
+    xp = jnp.pad(
+        x.astype(cd),
+        ((0, 0), (kx // 2, kx // 2), (ky // 2, ky // 2), (kz // 2, kz // 2), (0, 0)),
+    )
+    offsets = jnp.asarray(
+        [(i, j, k) for i in range(kx) for j in range(ky) for k in range(kz)],
+        jnp.int32,
+    )
+    wk = w.reshape(kx * ky * kz, c, d).astype(cd)
+
+    def tap(acc, inp):
+        off, wi = inp
+        sl = jax.lax.dynamic_slice(
+            xp, (0, off[0], off[1], off[2], 0), (b, X, Y, Z, c)
+        )
+        out = jnp.dot(
+            sl.reshape(-1, c), wi, preferred_element_type=jnp.float32
+        )
+        return acc + out, None
+
+    acc0 = jnp.zeros((b * X * Y * Z, d), jnp.float32)
+    acc, _ = jax.lax.scan(tap, acc0, (offsets, wk))
+    return acc.reshape(b, X, Y, Z, d).astype(x.dtype)
+
+
 class _Conv3d(nn.Module):
     """Bias-free channels-last 3D conv with 'same' anisotropic padding."""
 
@@ -33,21 +75,19 @@ class _Conv3d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kx, ky, kz = self.kernel
-        cd = self.compute_dtype or x.dtype
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "uniform"),
             (kx, ky, kz, x.shape[-1], self.features),
         )
-        out = jax.lax.conv_general_dilated(
-            x.astype(cd),
-            w.astype(cd),
-            window_strides=(1, 1, 1),
-            padding=[(kx // 2, kx // 2), (ky // 2, ky // 2), (kz // 2, kz // 2)],
-            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(x.dtype)
+        if kx == ky == kz == 1:
+            out = jnp.dot(
+                x.astype(self.compute_dtype or x.dtype).reshape(-1, x.shape[-1]),
+                w[0, 0, 0].astype(self.compute_dtype or x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(*x.shape[:-1], self.features).astype(x.dtype)
+        return shift_matmul_conv3d(x, w, self.compute_dtype)
 
 
 class SPCDense3D(nn.Module):

@@ -82,6 +82,13 @@ class PaSCoNet(nn.Module):
             inp.point_feats, inp.point_coords, inp.point_mask, box, S, train
         )
         merged = mimo_merge(per_subnet, box, S, cap.enc_s1)
+        # Hot-path precision: carry features in the compute dtype (bfloat16
+        # on TPU halves HBM traffic of the gather-heavy sparse convs and
+        # doubles MXU rate; accumulations stay f32 via
+        # preferred_element_type, normalisation stats are computed in f32).
+        cd = jnp.dtype(m.compute_dtype)
+        if merged.feats.dtype != cd:
+            merged = merged.with_feats(merged.feats.astype(cd))
 
         # --- Encoder ------------------------------------------------------
         enc = Encoder(m, cap, axis_name=self.axis_name, name="encoder")(

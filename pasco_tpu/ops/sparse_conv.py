@@ -112,15 +112,30 @@ def conv_with_rulebook(
     cd = compute_dtype or feats.dtype
     f = feats.astype(cd)
     w = weight.astype(cd)
-
-    def tap(acc, inp):
-        rows, found, wk = inp
-        t = jnp.where(found[:, None], f[rows], 0)
-        return acc + jnp.dot(t, wk, preferred_element_type=jnp.float32), None
-
     n_out = rb.rows.shape[1]  # may differ from len(feats) for strided convs
+
+    # Group taps per scan step: the f32 accumulator is the largest array in
+    # the conv ([N, Cout]); with one tap per step it round-trips HBM K
+    # times.  G unrolled taps per step fuse into one accumulator pass,
+    # cutting that traffic by G while keeping compile size ~K/G bodies.
+    group = 9 if k % 9 == 0 else (k if k <= 9 else 1)
+    n_steps = k // group
+    rows_g = rb.rows.reshape(n_steps, group, n_out)
+    found_g = rb.found.reshape(n_steps, group, n_out)
+    w_g = w.reshape(n_steps, group, cin, cout)
+
+    def step(acc, inp):
+        rows, found, wk = inp
+        partial = 0.0
+        for g in range(group):
+            t = jnp.where(found[g][:, None], f[rows[g]], 0)
+            partial = partial + jnp.dot(
+                t, wk[g], preferred_element_type=jnp.float32
+            )
+        return acc + partial, None
+
     out0 = jnp.zeros((n_out, cout), jnp.float32)
-    out, _ = jax.lax.scan(tap, out0, (rb.rows, rb.found, w))
+    out, _ = jax.lax.scan(step, out0, (rows_g, found_g, w_g))
     if bias is not None:
         out = out + bias[None, :]
     return out
