@@ -43,15 +43,28 @@ def main():
     out = fn(variables, inp)
     jax.block_until_ready(out)
 
-    # Block every iteration: on this backend, blocking only on the final
-    # dispatch of a loop under-reports (async dispatches appear to complete
-    # early), so each sample is an honest round trip.
+    # Force every iteration with a host transfer: on this backend
+    # ``block_until_ready`` does not reliably wait for remote execution, so
+    # each sample fetches a scalar reduction of the outputs — an honest
+    # round trip (the ~28 ms dispatch overhead is subtracted below).
+    import jax.numpy as jnp
+
+    def reduced(variables, inp):
+        o = forward(variables, inp)
+        leaves = [
+            x.astype(jnp.float32).sum()
+            for x in jax.tree_util.tree_leaves(o)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+        ]
+        return sum(leaves)
+
+    rfn = jax.jit(reduced)
+    float(rfn(variables, inp))  # compile
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     samples = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        out = fn(variables, inp)
-        jax.block_until_ready(out)
+        float(rfn(variables, inp))
         samples.append(time.perf_counter() - t0)
     dt = sorted(samples)[len(samples) // 2]
 

@@ -228,18 +228,19 @@ def compact(grid: SparseGrid, keep: jnp.ndarray, capacity: int) -> SparseGrid:
     """
     keep = keep & grid.mask
     n = grid.capacity
-    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep & (new_pos < capacity), new_pos, capacity)
-    coords = (
-        jnp.zeros((capacity + 1, 4), grid.coords.dtype)
-        .at[dest].set(grid.coords, mode="drop")[:capacity]
+    # Gather formulation: destination slots are monotonic in source index,
+    # so slot j reads row searchsorted(cumsum(keep), j+1) — far faster on
+    # TPU than a scatter (which serialises at a few GB/s).
+    cum = jnp.cumsum(keep.astype(jnp.int32))
+    total = cum[-1]
+    src = jnp.clip(
+        jnp.searchsorted(cum, jnp.arange(1, capacity + 1, dtype=jnp.int32)),
+        0,
+        n - 1,
     )
-    feats = (
-        jnp.zeros((capacity + 1, grid.num_channels), grid.feats.dtype)
-        .at[dest].set(grid.feats, mode="drop")[:capacity]
-    )
-    total = jnp.sum(keep.astype(jnp.int32))
     new_mask = jnp.arange(capacity) < jnp.minimum(total, capacity)
+    coords = jnp.where(new_mask[:, None], grid.coords[src], 0)
+    feats = jnp.where(new_mask[:, None], grid.feats[src], 0)
     return SparseGrid(coords=coords, feats=feats, mask=new_mask, stride=grid.stride)
 
 

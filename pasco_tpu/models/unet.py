@@ -138,3 +138,13 @@ class PaSCoNet(nn.Module):
             sem_logits_pruned=dec.sem_logits_pruned,
             predictor=predictor,
         )
+
+
+def build_net(cfg: PaSCoConfig, axis_name: Optional[str] = None):
+    """Factory: pick the compute substrate from config (dense is the fast
+    TPU path; sparse is the gather-based formulation)."""
+    if cfg.model.substrate == "dense":
+        from pasco_tpu.models.dense_unet import DensePaSCoNet
+
+        return DensePaSCoNet(cfg, axis_name=axis_name)
+    return PaSCoNet(cfg, axis_name=axis_name)

@@ -1,0 +1,238 @@
+"""Dense masked 3D ops — the TPU-preferred compute formulation.
+
+Profiling on the target chip showed sparse gather-based convs bound at
+~25 GB/s (random 128-byte row fetches) while dense slices and matmuls run
+near peak.  Since a *masked* dense convolution is numerically identical to
+the masked submanifold conv (absent neighbours contribute zero either
+way, and outputs at absent sites are re-masked), the hot U-Net stages run
+dense-with-masks over the bounded working box and only the attention /
+loss stages extract padded sparse sets.
+
+All ops take channels-last ``[X, Y, Z, C]`` volumes plus ``[X, Y, Z]``
+occupancy masks.  Weight layouts are shared with the sparse path
+(``[K, Cin, Cout]``, offsets ordered z-fastest by
+:func:`pasco_tpu.ops.sparse_conv.kernel_offsets`), so parameters are
+interchangeable between formulations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pasco_tpu.core.sparse import Box, SparseGrid
+
+
+def shift_matmul_conv3d(
+    x: jnp.ndarray,            # [B, X, Y, Z, C]
+    w: jnp.ndarray,            # [kx, ky, kz, C, D]
+    compute_dtype=None,
+    group: int = 9,
+) -> jnp.ndarray:
+    """'Same'-padded dense 3D conv as a scan of shifted slice+matmul taps.
+
+    XLA's native spatial convolution on this backend compiles anisotropic
+    high-channel shapes at ~1 min per conv and runs them at a few TFLOPs;
+    K shifted ``[N, C] @ [C, D]`` matmuls under ``lax.scan`` compile in
+    seconds and keep the MXU fed.  ``group`` taps run per scan step so the
+    f32 accumulator round-trips HBM K/group times instead of K.
+    """
+    b, X, Y, Z, c = x.shape
+    kx, ky, kz = w.shape[:3]
+    d = w.shape[-1]
+    k = kx * ky * kz
+    cd = compute_dtype or x.dtype
+    xp = jnp.pad(
+        x.astype(cd),
+        ((0, 0), (kx // 2, kx // 2), (ky // 2, ky // 2), (kz // 2, kz // 2), (0, 0)),
+    )
+    offsets = jnp.asarray(
+        [(i, j, kk) for i in range(kx) for j in range(ky) for kk in range(kz)],
+        jnp.int32,
+    )
+    wk = w.reshape(k, c, d).astype(cd)
+
+    if k % group != 0:
+        group = 1
+    steps = k // group
+    off_g = offsets.reshape(steps, group, 3)
+    w_g = wk.reshape(steps, group, c, d)
+
+    def step(acc, inp):
+        off, wi = inp
+        partial = 0.0
+        for g in range(group):
+            sl = jax.lax.dynamic_slice(
+                xp, (0, off[g, 0], off[g, 1], off[g, 2], 0), (b, X, Y, Z, c)
+            )
+            partial = partial + jnp.dot(
+                sl.reshape(-1, c), wi[g], preferred_element_type=jnp.float32
+            )
+        return acc + partial, None
+
+    acc0 = jnp.zeros((b * X * Y * Z, d), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (off_g, w_g))
+    return acc.reshape(b, X, Y, Z, d).astype(x.dtype)
+
+
+def conv3_dense(
+    x: jnp.ndarray,            # [X, Y, Z, C] (batchless)
+    weight: jnp.ndarray,       # [27, Cin, Cout] sparse-layout kernel
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """3x3x3 masked-dense conv with the sparse path's weight layout.
+
+    Uses XLA's native spatial convolution: for plain 3^3 kernels it runs at
+    ~50+ TFLOP/s on the target chip — 13x faster than the shift-matmul
+    form, whose f32 accumulator round-trips dominate at these sizes.  (The
+    shift-matmul form remains for the bottleneck's anisotropic kernels,
+    where native compilation is pathological.)
+    """
+    cd = compute_dtype or x.dtype
+    w = weight.reshape(3, 3, 3, weight.shape[1], weight.shape[2])
+    # Uniform operand/output dtype keeps the VJP's transposed convs
+    # type-consistent; the TPU conv unit accumulates in f32 internally.
+    out = jax.lax.conv_general_dilated(
+        x[None].astype(cd),
+        w.astype(cd),
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+    )[0].astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
+def down2_dense(
+    x: jnp.ndarray,            # [X, Y, Z, C]
+    weight: jnp.ndarray,       # [8, Cin, Cout] (kernel_offsets(2) order)
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Kernel-2 stride-2 downsampling conv as ONE matmul: gather each output
+    cell's 2x2x2 children by reshape and contract ``[N, 8C] @ [8C, D]``."""
+    X, Y, Z, c = x.shape
+    cd = compute_dtype or x.dtype
+    xr = (
+        x.astype(cd)
+        .reshape(X // 2, 2, Y // 2, 2, Z // 2, 2, c)
+        .transpose(0, 2, 4, 1, 3, 5, 6)       # [X/2, Y/2, Z/2, 2, 2, 2, C]
+        .reshape(-1, 8 * c)
+    )
+    w = weight.astype(cd).reshape(8 * c, -1)
+    out = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out.reshape(X // 2, Y // 2, Z // 2, -1).astype(x.dtype)
+
+
+def deconv2_dense(
+    x: jnp.ndarray,            # [X, Y, Z, C]
+    weight: jnp.ndarray,       # [8, Cin, Cout]
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Kernel-2 stride-2 generative transposed conv as ONE matmul + a
+    depth-to-space reshape (every child has exactly one parent)."""
+    X, Y, Z, c = x.shape
+    cd = compute_dtype or x.dtype
+    d = weight.shape[-1]
+    w = weight.astype(cd).transpose(1, 0, 2).reshape(c, 8 * d)
+    out = jnp.dot(x.astype(cd).reshape(-1, c), w, preferred_element_type=jnp.float32)
+    out = out.reshape(X, Y, Z, 2, 2, 2, d)
+    if bias is not None:
+        out = out + bias
+    out = out.transpose(0, 3, 1, 4, 2, 5, 6).reshape(2 * X, 2 * Y, 2 * Z, d)
+    return out.astype(x.dtype)
+
+
+def maxpool2_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """[X, Y, Z] bool -> [X/2, Y/2, Z/2] any-child."""
+    X, Y, Z = mask.shape
+    return (
+        mask.reshape(X // 2, 2, Y // 2, 2, Z // 2, 2).any(axis=(1, 3, 5))
+    )
+
+
+def upsample2_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """[X, Y, Z] bool -> [2X, 2Y, 2Z] broadcast-children."""
+    X, Y, Z = mask.shape
+    out = jnp.broadcast_to(
+        mask[:, None, :, None, :, None], (X, 2, Y, 2, Z, 2)
+    )
+    return out.reshape(2 * X, 2 * Y, 2 * Z)
+
+
+def bbox_mask(
+    box: Box, stride: int, bbox_min: jnp.ndarray, bbox_max: jnp.ndarray
+) -> jnp.ndarray:
+    """[X, Y, Z] bool of cells whose absolute coords lie in [min, max]."""
+    ex, ey, ez = box.extent_at(stride)
+    ax = box.minimum[0] + jnp.arange(ex) * stride
+    ay = box.minimum[1] + jnp.arange(ey) * stride
+    az = box.minimum[2] + jnp.arange(ez) * stride
+    mx = (ax >= bbox_min[0]) & (ax <= bbox_max[0])
+    my = (ay >= bbox_min[1]) & (ay <= bbox_max[1])
+    mz = (az >= bbox_min[2]) & (az <= bbox_max[2])
+    return mx[:, None, None] & my[None, :, None] & mz[None, None, :]
+
+
+def cell_coords(box: Box, stride: int) -> jnp.ndarray:
+    """[X, Y, Z, 3] absolute stride-1 coords of every cell."""
+    ex, ey, ez = box.extent_at(stride)
+    gx, gy, gz = jnp.meshgrid(
+        jnp.arange(ex), jnp.arange(ey), jnp.arange(ez), indexing="ij"
+    )
+    rel = jnp.stack([gx, gy, gz], axis=-1).astype(jnp.int32) * stride
+    return rel + box.minimum[None, None, None, :]
+
+
+def extract_sparse(
+    feats: jnp.ndarray,        # [X, Y, Z, C]
+    keep: jnp.ndarray,         # [X, Y, Z] bool
+    box: Box,
+    stride: int,
+    capacity: int,
+    extra: Optional[jnp.ndarray] = None,   # [X, Y, Z, E] carried along
+) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
+    """Compact kept cells into a padded :class:`SparseGrid`.
+
+    Inverted as a gather: the destination slots of a prefix-sum compaction
+    are monotonic in the source index, so slot ``j`` reads source row
+    ``searchsorted(cumsum(keep), j+1)`` — a vectorised binary search plus a
+    ``capacity``-sized gather.  The scatter formulation ran at ~3.5 GB/s on
+    this chip (a single scale-1 extraction cost 340 ms); the gather form is
+    ~two orders of magnitude cheaper.  Surplus beyond ``capacity`` is
+    dropped tail-first; the caps rarely bind at eval (the reference skips
+    capping at test, ``decoder_v3.py:347``).
+    """
+    X, Y, Z, c = feats.shape
+    n = X * Y * Z
+    keep_f = keep.reshape(n)
+    cum = jnp.cumsum(keep_f.astype(jnp.int32))
+    total = cum[-1]
+    src = jnp.searchsorted(
+        cum, jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    )
+    src = jnp.clip(src, 0, n - 1)
+    mask = jnp.arange(capacity) < jnp.minimum(total, capacity)
+
+    coords3 = cell_coords(box, stride).reshape(n, 3)
+    out_coords = jnp.concatenate(
+        [
+            jnp.zeros((capacity, 1), jnp.int32),
+            jnp.where(mask[:, None], coords3[src], 0),
+        ],
+        axis=-1,
+    )
+    out_feats = jnp.where(mask[:, None], feats.reshape(n, c)[src], 0)
+    grid = SparseGrid(coords=out_coords, feats=out_feats, mask=mask, stride=stride)
+    out_extra = None
+    if extra is not None:
+        e = extra.shape[-1]
+        out_extra = jnp.where(mask[:, None], extra.reshape(n, e)[src], 0)
+    return grid, out_extra

@@ -24,7 +24,7 @@ import numpy as np
 from pasco_tpu.core.config import PaSCoConfig
 from pasco_tpu.data.semantic_kitti.collate import CollatedScene, collate
 from pasco_tpu.inference.pipeline import Evaluator, run_scene_inference
-from pasco_tpu.models.unet import PaSCoNet
+from pasco_tpu.models.unet import build_net
 from pasco_tpu.training import step as tstep
 from pasco_tpu.training.checkpoint import CheckpointManager
 
@@ -101,7 +101,7 @@ def train(
     from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
 
     freqs = class_frequencies or CLASS_FREQUENCIES
-    net = PaSCoNet(cfg)
+    net = build_net(cfg)
     lw = tstep.labelweights_for(cfg, freqs)
     cw = jnp.asarray(
         tstep.class_weight_vector(cfg.model.n_classes, cfg.loss.no_object_weight)

@@ -30,12 +30,12 @@ def main():
     from pasco_tpu.data.semantic_kitti.collate import collate
     from pasco_tpu.inference.pipeline import Evaluator, run_scene_inference
     from pasco_tpu.metrics.tables import print_all
-    from pasco_tpu.models.unet import PaSCoNet
+    from pasco_tpu.models.unet import build_net
     from pasco_tpu.training import step as tstep
     from pasco_tpu.training.checkpoint import CheckpointManager
 
     cfg = kitti360_config(n_infers=args.n_infers)
-    net = PaSCoNet(cfg)
+    net = build_net(cfg)
     lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
 
     ds = Kitti360Dataset(

@@ -36,7 +36,7 @@ def main():
     from pasco_tpu.data.semantic_kitti.dataset import KittiDataset
     from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
     from pasco_tpu.inference.pipeline import run_scene_inference
-    from pasco_tpu.models.unet import PaSCoNet
+    from pasco_tpu.models.unet import build_net
     from pasco_tpu.training import step as tstep
     from pasco_tpu.training.checkpoint import CheckpointManager
     from pasco_tpu.utils.visualization import (
@@ -49,7 +49,7 @@ def main():
     cfg = base.replace(
         model=dataclasses.replace(base.model, n_infers=args.n_infers)
     )
-    net = PaSCoNet(cfg)
+    net = build_net(cfg)
     lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
     ds = KittiDataset(
         root=args.dataset_root,

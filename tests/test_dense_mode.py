@@ -1,0 +1,149 @@
+"""Dense-with-masks compute path: equivalence with sparse, e2e training."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pasco_tpu.core.config import tiny_config
+from pasco_tpu.core.sparse import Box, SparseGrid
+from pasco_tpu.models.dense_unet import DensePaSCoNet
+from pasco_tpu.ops.dense_ops import (
+    conv3_dense,
+    deconv2_dense,
+    down2_dense,
+    extract_sparse,
+    maxpool2_mask,
+    shift_matmul_conv3d,
+)
+from pasco_tpu.ops.sparse_conv import (
+    generative_deconv3d,
+    strided_conv3d,
+    submanifold_conv3d,
+)
+from pasco_tpu.training import step as tstep
+from test_train_step import build_batch
+
+
+def random_grid(r, ext, n, c, stride=1):
+    box = Box.create([0, 0, 0], ext)
+    xs = r.choice(ext[0] // stride * ext[1] // stride * ext[2] // stride,
+                  n, replace=False)
+    ez = ext[2] // stride
+    ey = ext[1] // stride
+    coords = np.zeros((n, 4), np.int32)
+    coords[:, 1] = xs // (ey * ez) * stride
+    coords[:, 2] = (xs // ez) % ey * stride
+    coords[:, 3] = xs % ez * stride
+    feats = r.randn(n, c).astype(np.float32)
+    return box, SparseGrid(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones(n, bool), stride
+    )
+
+
+def to_dense(grid, box):
+    from pasco_tpu.core.sparse import to_dense as td
+
+    return td(grid, box, 1)[0], None
+
+
+def test_dense_conv_matches_sparse_conv():
+    r = np.random.RandomState(0)
+    ext = (16, 16, 8)
+    box, grid = random_grid(r, ext, 60, 5)
+    w = jnp.asarray(r.randn(27, 5, 7).astype(np.float32))
+    b = jnp.asarray(r.randn(7).astype(np.float32))
+
+    sparse_out = submanifold_conv3d(grid, box, w, b)
+    dense_in, _ = to_dense(grid, box)
+    mask = jnp.zeros(ext, bool).at[
+        grid.coords[:, 1], grid.coords[:, 2], grid.coords[:, 3]
+    ].set(True)
+    dense_out = conv3_dense(jnp.where(mask[..., None], dense_in, 0), w, b)
+    got = dense_out[grid.coords[:, 1], grid.coords[:, 2], grid.coords[:, 3]]
+    assert np.allclose(np.asarray(got), np.asarray(sparse_out.feats), atol=2e-4)
+
+
+def test_dense_down_matches_sparse_strided():
+    r = np.random.RandomState(1)
+    ext = (16, 16, 8)
+    box, grid = random_grid(r, ext, 80, 6)
+    w = jnp.asarray(r.randn(8, 6, 4).astype(np.float32))
+
+    sparse_out = strided_conv3d(grid, box, w, out_capacity=128)
+    dense_in, _ = to_dense(grid, box)
+    dense_out = down2_dense(dense_in, w)
+    sc = sparse_out.coords[:, 1:] // 2
+    got = dense_out[sc[:, 0], sc[:, 1], sc[:, 2]]
+    want = np.asarray(sparse_out.feats)
+    m = np.asarray(sparse_out.mask)
+    assert np.allclose(np.asarray(got)[m], want[m], atol=2e-4)
+
+
+def test_dense_deconv_matches_sparse_generative():
+    r = np.random.RandomState(2)
+    ext = (16, 16, 8)
+    box, grid = random_grid(r, ext, 30, 6, stride=2)
+    w = jnp.asarray(r.randn(8, 6, 4).astype(np.float32))
+    b = jnp.asarray(r.randn(4).astype(np.float32))
+
+    sparse_out = generative_deconv3d(grid, w, b)
+    # Dense: input grid at stride 2 occupies ext/2 cells.
+    dense_in = jnp.zeros((8, 8, 4, 6), jnp.float32).at[
+        grid.coords[:, 1] // 2, grid.coords[:, 2] // 2, grid.coords[:, 3] // 2
+    ].set(grid.feats)
+    dense_out = deconv2_dense(dense_in, w, b)
+    m = np.asarray(sparse_out.mask)
+    sc = np.asarray(sparse_out.coords)[m]
+    got = dense_out[sc[:, 1], sc[:, 2], sc[:, 3]]
+    assert np.allclose(np.asarray(got), np.asarray(sparse_out.feats)[m], atol=2e-4)
+
+
+def test_shift_matmul_matches_native():
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(1, 8, 8, 4, 5).astype(np.float32))
+    w27 = jnp.asarray(r.randn(27, 5, 6).astype(np.float32))
+    native = conv3_dense(x[0], w27)
+    shifted = shift_matmul_conv3d(x, w27.reshape(3, 3, 3, 5, 6))[0]
+    assert np.allclose(np.asarray(native), np.asarray(shifted), atol=2e-4)
+
+
+def test_extract_sparse_roundtrip():
+    r = np.random.RandomState(4)
+    ext = (8, 8, 4)
+    box = Box.create([0, 0, 0], ext)
+    feats = jnp.asarray(r.randn(*ext, 3).astype(np.float32))
+    keep = jnp.asarray(r.rand(*ext) > 0.7)
+    grid, _ = extract_sparse(feats, keep, box, 1, capacity=256)
+    n = int(keep.sum())
+    assert int(grid.mask.sum()) == n
+    c = np.asarray(grid.coords)[np.asarray(grid.mask)]
+    got = np.asarray(grid.feats)[np.asarray(grid.mask)]
+    want = np.asarray(feats)[c[:, 1], c[:, 2], c[:, 3]]
+    assert np.allclose(got, want)
+
+
+def test_dense_forward_and_train():
+    cfg = tiny_config(n_infers=1)
+    net = DensePaSCoNet(cfg)
+    scene = build_batch(cfg, 1, seed=21)
+    inp = tstep.scene_to_model_input(scene)
+    targets = tstep.targets_to_device(scene.targets)
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    lw = tstep.labelweights_for(cfg, freqs)
+    cw = jnp.asarray(
+        tstep.class_weight_vector(cfg.model.n_classes, cfg.loss.no_object_weight)
+    )
+    state, tx = tstep.create_train_state(net, cfg, inp, lw, jax.random.PRNGKey(0))
+    step_fn = jax.jit(
+        partial(tstep.train_step, net=net, tx=tx, labelweights=lw,
+                class_weight=cw, cfg=cfg)
+    )
+    losses = []
+    for _ in range(4):
+        state, logs = step_fn(state, inp, targets, jax.random.PRNGKey(1))
+        losses.append(float(logs["total_loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] <= losses[0]
