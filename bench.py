@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_SCAN_SEC = 0.703  # reference PaSCo-single inference time on V100
@@ -58,14 +60,27 @@ def main():
         ]
         return sum(leaves)
 
-    rfn = jax.jit(reduced)
-    float(rfn(variables, inp))  # compile
+    # Optional batched throughput: vmap B independent scans per dispatch
+    # (the north-star metric is scans/sec/chip; batching amortises dispatch
+    # overhead and raises utilisation).  BENCH_BATCH=1 measures latency.
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    if batch > 1:
+        binp = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * batch), inp
+        )
+        rfn = jax.jit(jax.vmap(reduced, in_axes=(None, 0)))
+        args = (variables, binp)
+    else:
+        rfn = jax.jit(reduced)
+        args = (variables, inp)
+
+    jax.block_until_ready(rfn(*args))  # compile
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     samples = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        float(rfn(variables, inp))
-        samples.append(time.perf_counter() - t0)
+        np.asarray(rfn(*args))
+        samples.append((time.perf_counter() - t0) / batch)
     dt = sorted(samples)[len(samples) // 2]
 
     scans_per_sec = 1.0 / dt

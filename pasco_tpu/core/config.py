@@ -97,7 +97,7 @@ class TransformerConfig:
     src_scales: Tuple[int, ...] = (4, 2, 1)
     mask_dim: int = 64                # channels of the scale-1 mask features
     dropout: float = 0.0
-    kv_chunk: int = 8192              # KV chunk for online-softmax attention
+    kv_chunk: int = 32768             # KV chunk for online-softmax attention
 
 
 @dataclass(frozen=True)

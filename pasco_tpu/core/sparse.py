@@ -228,15 +228,16 @@ def compact(grid: SparseGrid, keep: jnp.ndarray, capacity: int) -> SparseGrid:
     """
     keep = keep & grid.mask
     n = grid.capacity
-    # Gather formulation: destination slots are monotonic in source index,
-    # so slot j reads row searchsorted(cumsum(keep), j+1) — far faster on
-    # TPU than a scatter (which serialises at a few GB/s).
-    cum = jnp.cumsum(keep.astype(jnp.int32))
-    total = cum[-1]
-    src = jnp.clip(
-        jnp.searchsorted(cum, jnp.arange(1, capacity + 1, dtype=jnp.int32)),
-        0,
-        n - 1,
+    # Index-scatter + gather: scatter only the 4-byte source index of each
+    # kept row to its prefix-sum slot, then gather payloads.  Payload
+    # scatters run at a few GB/s on TPU and searchsorted lowers to a slow
+    # while-loop; this form keeps both costs negligible.
+    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    total = new_pos[-1] + 1
+    dest = jnp.where(keep & (new_pos < capacity), new_pos, capacity)
+    src = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:capacity]
     )
     new_mask = jnp.arange(capacity) < jnp.minimum(total, capacity)
     coords = jnp.where(new_mask[:, None], grid.coords[src], 0)

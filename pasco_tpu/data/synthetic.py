@@ -101,3 +101,68 @@ def make_scene(
         frame_id="synthetic",
         sequence="99",
     )
+
+
+class SyntheticKittiDataset:
+    """Drop-in stand-in for :class:`KittiDataset` built on random scenes —
+    lets the full training/eval loop run without SemanticKITTI on disk."""
+
+    def __init__(
+        self,
+        n_scenes: int = 8,
+        n_subnets: int = 1,
+        scene_size: Tuple[int, int, int] = params.SCENE_SIZE,
+        n_points: int = 20000,
+        point_feat_dim: int = 8,
+        n_classes: int = params.N_CLASSES,
+        thing_ids=params.THING_IDS,
+        data_aug: bool = False,
+        split: str = "train",
+        seed: int = 0,
+    ):
+        self.n_scenes = n_scenes
+        self.n_subnets = n_subnets
+        self.scene_size = scene_size
+        self.n_points = n_points
+        self.point_feat_dim = point_feat_dim
+        self.n_classes = n_classes
+        self.thing_ids = thing_ids
+        self.data_aug = data_aug
+        self.split = split
+        self.seed = seed
+
+    def __len__(self):
+        return self.n_scenes
+
+    def __getitem__(self, idx):
+        from pasco_tpu.data.semantic_kitti.dataset import process_scene
+        from pasco_tpu.data.transform_utils import (
+            generate_random_transformation,
+        )
+
+        rng = np.random.RandomState(self.seed + int(idx))
+        scene = make_scene(
+            rng,
+            scene_size=self.scene_size,
+            n_points=self.n_points,
+            point_feat_dim=self.point_feat_dim,
+        )
+        out = []
+        for s in range(self.n_subnets):
+            T = (
+                generate_random_transformation(
+                    rng, max_angle=10.0, scale_range=0.0,
+                    max_translation=(0.2, 0.2, 0.1),
+                )
+                if self.data_aug
+                else None
+            )
+            out.append(
+                process_scene(
+                    scene, T, rng,
+                    n_classes=self.n_classes,
+                    thing_ids=self.thing_ids,
+                    train_crop=(self.split == "train"),
+                )
+            )
+        return out

@@ -85,6 +85,9 @@ class DenseConv(nn.Module):
             if self.use_bias
             else None
         )
+        # Contract: inputs are already masked by their producer (every op
+        # in this module re-masks its output), so no input pass is needed;
+        # the output mask stops bias leakage at empty cells.
         if self.kernel_size == 1:
             cd = self.compute_dtype or x.dtype
             out = jnp.dot(
@@ -96,9 +99,7 @@ class DenseConv(nn.Module):
                 out = out + b
             out = out.astype(x.dtype)
         else:
-            out = conv3_dense(
-                _mask_mul(x, mask), w, b, compute_dtype=self.compute_dtype
-            )
+            out = conv3_dense(x, w, b, compute_dtype=self.compute_dtype)
         return _mask_mul(out, mask)
 
 
@@ -143,7 +144,7 @@ class DenseDown(nn.Module):
     def __call__(self, x, mask, train):
         w = self.param("kernel", _conv_init, (8, x.shape[-1], self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        out = down2_dense(_mask_mul(x, mask), w, b, self.compute_dtype)
+        out = down2_dense(x, w, b, self.compute_dtype)
         new_mask = maxpool2_mask(mask)
         f = DenseBN(self.axis_name, name="bn1")(out, new_mask, train)
         f = nn.leaky_relu(f, 0.01)
@@ -260,7 +261,7 @@ class DensePaSCoNet(nn.Module):
             bd = self.param(
                 f"dec_s{scale}_up_bias", nn.initializers.zeros, (ch,)
             )
-            x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd)
+            x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd)  # parent prune
             msk = upsample2_mask(parent_keep) & bbox_mask(
                 box, scale, inp.global_min, inp.global_max
             )

@@ -40,7 +40,13 @@ def masked_cross_attention(
     dh = d // num_heads
     assert dh * num_heads == d
 
-    qh = q.reshape(nq, num_heads, dh).transpose(1, 0, 2)  # [H, Q, dh]
+    # KV streams in bfloat16: the scan is HBM-bound on reading the chunks;
+    # scores/softmax stay f32 via preferred_element_type.
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    qh = (
+        q.astype(jnp.bfloat16).reshape(nq, num_heads, dh).transpose(1, 0, 2)
+    )  # [H, Q, dh]
     scale = dh**-0.5
 
     # Degenerate-row fix: a query with zero allowed keys attends all keys.

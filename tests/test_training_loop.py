@@ -1,0 +1,48 @@
+"""End-to-end training loop: data -> steps -> validation -> checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pasco_tpu.core.config import tiny_config
+from pasco_tpu.data.synthetic import SyntheticKittiDataset
+from pasco_tpu.training.loop import train
+
+
+def test_train_loop_end_to_end(tmp_path):
+    cfg = tiny_config(n_infers=1)
+    ds = SyntheticKittiDataset(
+        n_scenes=2,
+        n_subnets=1,
+        scene_size=cfg.scene.scene_size,
+        n_points=1200,
+        point_feat_dim=cfg.model.in_channels - 6,
+    )
+    val = SyntheticKittiDataset(
+        n_scenes=1,
+        n_subnets=1,
+        scene_size=cfg.scene.scene_size,
+        n_points=1200,
+        point_feat_dim=cfg.model.in_channels - 6,
+        split="val",
+        seed=50,
+    )
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    log_dir = str(tmp_path / "run")
+    state = train(
+        cfg,
+        ds,
+        val_dataset=val,
+        n_epochs=1,
+        log_dir=log_dir,
+        class_frequencies=freqs,
+        limit_train_batches=2,
+        limit_val_batches=1,
+    )
+    assert int(state.step) == 2
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(log_dir, "checkpoints", "config.json"))
+    # Training logged finite losses.
+    lines = open(os.path.join(log_dir, "metrics.jsonl")).read().strip()
+    assert "pq_dagger_all" in lines or "epoch" in lines
