@@ -125,6 +125,9 @@ class ModelConfig:
     # gather-dominated HBM traffic, doubles MXU rate); accumulation,
     # normalisation statistics, logits, and losses stay float32.
     compute_dtype: str = "bfloat16"
+    # Rematerialise conv stacks in backward (full-scale training needs
+    # ~47 GB of stored activations otherwise; one v5e chip has 15.75 GB).
+    remat: bool = True
     # Compute formulation: "dense" runs the U-Net on masked dense volumes
     # over the working box (near-roofline on TPU; see models/dense_unet.py),
     # "sparse" uses the gather-based sparse substrate (reference-shaped).
@@ -151,11 +154,12 @@ class SceneConfig:
     scene_size: Tuple[int, int, int] = (256, 256, 32)
     voxel_size: float = 0.2
     point_cloud_range: Tuple[float, ...] = (0.0, -25.6, -2.0, 51.2, 25.6, 4.4)
-    # Static working box. (352, 352, 40) covers the union bbox of the
+    # Static working box. (352, 352, 32) covers the union bbox of the
     # canonical scene under the eval augmentations (rotation up to +-30deg,
-    # small translation: measured p100 extent 350x350x32 over 2000 draws);
+    # small translation: measured p100 extent 350x350x32 over 2000 draws;
+    # augmentation never moves z, so z stays at the canonical 32);
     # dense-mode FLOPs scale linearly with this volume.
-    box_extent: Tuple[int, int, int] = (352, 352, 40)
+    box_extent: Tuple[int, int, int] = (352, 352, 32)
     complete_scale: int = 8
 
 

@@ -81,11 +81,15 @@ def _host_assign(cost: np.ndarray, tgt_valid: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_assignment(
+def hungarian_assignment_host(
     cost: jnp.ndarray,      # [Q, T_cap]
     tgt_valid: jnp.ndarray, # [T_cap] bool
 ) -> jnp.ndarray:
-    """jit-compatible LSA via host callback: ``src_of_tgt [T_cap]``."""
+    """LSA via host callback into the native C++ solver.
+
+    Not usable on the axon TPU backend (it rejects host callbacks inside
+    jit); kept for CPU runs and as a cross-check of the pure-JAX solver.
+    """
     return jax.pure_callback(
         _host_assign,
         jax.ShapeDtypeStruct((cost.shape[1],), jnp.int32),
@@ -93,6 +97,35 @@ def hungarian_assignment(
         tgt_valid,
         vmap_method="sequential",
     )
+
+
+def hungarian_assignment(
+    cost: jnp.ndarray,      # [Q, T_cap]
+    tgt_valid: jnp.ndarray, # [T_cap] bool
+) -> jnp.ndarray:
+    """jit-native exact LSA: ``src_of_tgt [T_cap]`` (query per target, -1
+    for invalid targets).
+
+    Invalid target columns enter the assignment with a sentinel cost far
+    above any real cost, which cannot perturb the optimum over the valid
+    columns (exchange argument: any matching that skips a valid target in
+    favour of a sentinel can be improved by swapping, so the optimum covers
+    every valid target as long as #valid <= Q).
+    """
+    q, t_cap = cost.shape
+    padded = jnp.where(tgt_valid[None, :], jnp.clip(cost, -1e6, 1e6), 1e9)
+    if t_cap <= q:
+        src = jax_linear_sum_assignment(padded.T)        # [T_cap] query/tgt
+    else:
+        # More target slots than queries: solve with queries as rows and
+        # invert (unmatched target slots keep -1).
+        tgt_of_q = jax_linear_sum_assignment(padded)     # [Q] target/query
+        src = (
+            jnp.full((t_cap,), -1, jnp.int32)
+            .at[tgt_of_q]
+            .set(jnp.arange(q, dtype=jnp.int32), mode="drop")
+        )
+    return jnp.where(tgt_valid, src, -1).astype(jnp.int32)
 
 
 def match(
@@ -126,3 +159,84 @@ def match(
     c = jnp.where(tgt_valid[None, :], c, 0.0)
     c = jnp.nan_to_num(c, nan=1e6, posinf=1e6, neginf=-1e6)
     return hungarian_assignment(c, tgt_valid)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX exact Hungarian (shortest augmenting path)
+# ---------------------------------------------------------------------------
+#
+# The target TPU backend does not support host callbacks inside jit
+# (axon_pjrt rejects pure_callback), so the LSA also exists as a pure-XLA
+# routine: the classic O(n^2 m) potentials + augmenting-path algorithm with
+# the column scans vectorised.  Cost matrices are <=100 x ~64, so the
+# sequential outer structure is negligible.
+
+
+def jax_linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact LSA on a ``[R, C]`` cost matrix with R <= C.
+
+    Returns ``col_for_row [R]`` — every row matched to a distinct column,
+    minimising total cost (equal to scipy.optimize.linear_sum_assignment).
+    """
+    r, c = cost.shape
+    assert r <= c, "requires rows <= cols (transpose the cost)"
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    costf = cost.astype(jnp.float32)
+
+    def assign_row(i, carry):
+        u, v, p, way = carry
+        # p[j] (1-indexed cols, 0 = virtual start) holds the 1-indexed row
+        # currently assigned to column j; p[0] is the row being inserted.
+        p = p.at[0].set(i + 1)
+        minv = jnp.full((c + 1,), big)
+        used = jnp.zeros((c + 1,), bool)
+
+        def path_step(state):
+            u, v, p, way, minv, used, j0 = state
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            cur = costf[i0 - 1, :] - u[i0] - v[1:]
+            upd = (cur < minv[1:]) & ~used[1:]
+            minv = minv.at[1:].set(jnp.where(upd, cur, minv[1:]))
+            way = way.at[1:].set(jnp.where(upd, j0, way[1:]))
+            masked = jnp.where(used[1:], big, minv[1:])
+            j1 = jnp.argmin(masked) + 1
+            delta = masked[j1 - 1]
+            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            v = v - jnp.where(used, delta, 0.0)
+            minv = minv.at[1:].add(jnp.where(used[1:], 0.0, -delta))
+            return u, v, p, way, minv, used, j1
+
+        def path_cond(state):
+            j0 = state[6]
+            return state[2][j0] != 0
+
+        state = (u, v, p, way, minv, used, jnp.int32(0))
+        # First step must run once (j0 = 0 has p[0] = i+1 != 0).
+        u, v, p, way, minv, used, j0 = jax.lax.while_loop(
+            path_cond, path_step, state
+        )
+
+        def back_step(state):
+            p, j0 = state
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return p, j1
+
+        p, _ = jax.lax.while_loop(lambda s: s[1] != 0, back_step, (p, j0))
+        return u, v, p, way
+
+    u = jnp.zeros((r + 1,), jnp.float32)
+    v = jnp.zeros((c + 1,), jnp.float32)
+    p = jnp.zeros((c + 1,), jnp.int32)
+    way = jnp.zeros((c + 1,), jnp.int32)
+    u, v, p, way = jax.lax.fori_loop(0, r, assign_row, (u, v, p, way))
+
+    # Invert: col_for_row[i] = j where p[j] == i+1 (1-indexed; every row
+    # is assigned because r <= c).
+    cols = jnp.arange(1, c + 1, dtype=jnp.int32)
+    row_of_col = p[1:]  # [C], 0 = unassigned
+    col_for_row = jnp.zeros((r + 1,), jnp.int32).at[row_of_col].set(
+        cols, mode="drop"
+    )[1:]
+    return col_for_row - 1

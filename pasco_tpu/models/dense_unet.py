@@ -55,17 +55,56 @@ def _mask_mul(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 class DenseBN(nn.Module):
     """Masked BatchNorm over the valid cells of a dense volume (stats
-    exclude empty cells, like ME BatchNorm over sparse voxels)."""
+    exclude empty cells, like ME BatchNorm over sparse voxels).
+
+    Operates directly on the 4D volume: flattening to ``[N, C]`` forced an
+    f32 relayout copy of the whole volume (1.7 GB at full scale) between
+    the deconv and the normalisation.
+    """
 
     axis_name: Optional[str] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, mask, train):
-        shp = x.shape
-        out = MaskedBatchNorm(axis_name=self.axis_name, name="bn")(
-            x.reshape(-1, shp[-1]), mask.reshape(-1), train
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
         )
-        return out.reshape(shp)
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        axes = tuple(range(x.ndim - 1))
+        if train:
+            mx = jnp.where(mask[..., None], x, 0).astype(jnp.float32)
+            cnt = jnp.maximum(
+                jnp.sum(mask.astype(jnp.float32)), 1.0
+            )
+            s1 = jnp.sum(mx, axis=axes)
+            s2 = jnp.sum(jnp.square(mx), axis=axes)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(x.dtype)
+        out = (x - mean.astype(x.dtype)) * inv + bias.astype(x.dtype)
+        return jnp.where(mask[..., None], out, 0)
 
 
 class DenseConv(nn.Module):
@@ -93,10 +132,9 @@ class DenseConv(nn.Module):
             out = jnp.dot(
                 x.astype(cd).reshape(-1, x.shape[-1]),
                 w[0].astype(cd),
-                preferred_element_type=jnp.float32,
             ).reshape(*x.shape[:-1], self.out_channels)
             if b is not None:
-                out = out + b
+                out = out + b.astype(out.dtype)
             out = out.astype(x.dtype)
         else:
             out = conv3_dense(x, w, b, compute_dtype=self.compute_dtype)
@@ -153,6 +191,123 @@ class DenseDown(nn.Module):
         return _mask_mul(f, new_mask), new_mask
 
 
+class DenseEncStage(nn.Module):
+    """One encoder stage (optional down conv + residual stack).  With
+    ``remat`` each residual block recomputes in backward, so the stored
+    state per stage is one boundary tensor per block."""
+
+    out_channels: int
+    down: bool
+    n_res: int
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, train):
+        Block = (
+            nn.remat(DenseResBlock, static_argnums=(3,))
+            if self.remat
+            else DenseResBlock
+        )
+        if self.down:
+            x, mask = DenseDown(
+                self.out_channels, self.axis_name, self.compute_dtype,
+                name="down",
+            )(x, mask, train)
+        for i in range(self.n_res):
+            x = Block(
+                self.out_channels, self.axis_name, self.compute_dtype,
+                name=f"res{i}",
+            )(x, mask, train)
+        return x, mask
+
+
+class DenseDecoderStage(nn.Module):
+    """One generative decoder stage: deconv -> bbox mask -> coord concat ->
+    resize -> +skip -> residual stack -> per-subnet heads.  Rematted as a
+    unit; returns (features, sem logits bf16, stage mask)."""
+
+    out_channels: int
+    n_infers: int
+    n_classes: int
+    n_res: int
+    scale: int
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, x, parent_keep, skip, box, gmin, gmax, train):
+        cd = self.compute_dtype
+        ch = self.out_channels
+        Block = (
+            nn.remat(DenseResBlock, static_argnums=(3,))
+            if self.remat
+            else DenseResBlock
+        )
+        wd = self.param("up_kernel", _conv_init, (8, x.shape[-1], ch))
+        bd = self.param("up_bias", nn.initializers.zeros, (ch,))
+        x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd)
+        msk = upsample2_mask(parent_keep) & bbox_mask(box, self.scale, gmin, gmax)
+        f = DenseBN(self.axis_name, name="up_bn")(x, msk, train)
+        x = _mask_mul(nn.leaky_relu(f, 0.01), msk)
+
+        norm_c = (
+            cell_coords(box, self.scale).astype(jnp.float32) / self.scale
+        ).astype(x.dtype)
+        xc = jnp.concatenate([x, _mask_mul(norm_c, msk)], axis=-1)
+        xc = DenseBN(self.axis_name, name="resize_bn")(xc, msk, train)
+        x = DenseConv(ch, 1, compute_dtype=cd, name="resize")(xc, msk)
+        x = x + _mask_mul(skip.astype(x.dtype), msk)
+
+        for ri in range(self.n_res):
+            x = Block(
+                ch, self.axis_name, cd, name=f"res{ri}"
+            )(x, msk, train)
+
+        wh = self.param(
+            "head_kernel",
+            nn.initializers.lecun_normal(),
+            (self.n_infers, ch, self.n_classes),
+        )
+        bh = self.param(
+            "head_bias", nn.initializers.zeros, (self.n_infers, self.n_classes)
+        )
+        sem = (
+            jnp.einsum(
+                "xyzc,sck->xyzsk",
+                x.astype(jnp.float32),
+                wh.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            + bh[None, None, None]
+        )
+        sem = jnp.where(msk[..., None, None], sem, 0)
+        return x, sem.astype(jnp.bfloat16), msk
+
+
+class PointMLP(nn.Module):
+    """CylinderFeat point MLP (unet3d_sparse_v2.py:22-34), rematted as one
+    unit (its f32 activations over 160k points are ~1 GB of residuals)."""
+
+    out_dim: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, pf, pm, train):
+        bn = lambda name: MaskedBatchNorm(axis_name=self.axis_name, name=name)
+        f = bn("bn_in")(pf, pm, train)
+        f = nn.Dense(64, name="fc1")(f)
+        f = nn.relu(bn("bn1")(f, pm, train))
+        f = nn.Dense(128, name="fc2")(f)
+        f = nn.relu(bn("bn2")(f, pm, train))
+        f = nn.Dense(256, name="fc3")(f)
+        f = nn.relu(bn("bn3")(f, pm, train))
+        f = nn.Dense(self.out_dim, name="fc4")(f)
+        return jnp.where(pm[:, None], f, 0)
+
+
 class DensePaSCoNet(nn.Module):
     """Dense-mode end-to-end network; same inputs/outputs as PaSCoNet."""
 
@@ -172,22 +327,21 @@ class DensePaSCoNet(nn.Module):
         cap = cfg.capacity
         S = m.n_infers
         cd = jnp.dtype(m.compute_dtype)
+        # Rematerialise the conv stacks: the backward pass would otherwise
+        # hold every dense activation (measured 47 GB at full scale vs the
+        # chip's 15.75 GB).  Recompute-in-backward trades ~1 extra forward
+        # of the wrapped blocks for fitting training on one chip.
+        Bottleneck = (
+            nn.remat(SPCDense3D, static_argnums=(2,)) if m.remat else SPCDense3D
+        )
         box = Box.create(inp.global_min, cfg.scene.box_extent)
         ex, ey, ez = box.extent
         n_cells = ex * ey * ez
 
         # ---- point MLP (CylinderFeat, unet3d_sparse_v2.py:22-34) --------
-        bn = lambda name: MaskedBatchNorm(axis_name=self.axis_name, name=name)
         pf, pm = inp.point_feats, inp.point_mask
-        f = bn("bn_in")(pf, pm, train)
-        f = nn.Dense(64, name="fc1")(f)
-        f = nn.relu(bn("bn1")(f, pm, train))
-        f = nn.Dense(128, name="fc2")(f)
-        f = nn.relu(bn("bn2")(f, pm, train))
-        f = nn.Dense(256, name="fc3")(f)
-        f = nn.relu(bn("bn3")(f, pm, train))
-        f = nn.Dense(m.f, name="fc4")(f)
-        f = jnp.where(pm[:, None], f, 0)
+        # (Rematting the point MLP measurably worsened XLA's schedule.)
+        f = PointMLP(m.f, self.axis_name, name="point_mlp")(pf, pm, train)
 
         # ---- scatter-max into the per-subnet dense grid + MIMO concat ---
         rel = inp.point_coords[:, 1:] - box.minimum[None, :]
@@ -216,29 +370,23 @@ class DensePaSCoNet(nn.Module):
 
         # ---- encoder ----------------------------------------------------
         fm = m.f_maps
+        n_res = 0 if m.heavy_decoder else 3
         x = DenseConv(fm[0], 1, compute_dtype=cd, name="enc_in")(x, mask1)
-        if not m.heavy_decoder:
-            for i in range(3):
-                x = DenseResBlock(
-                    fm[0], self.axis_name, cd, name=f"enc_s1_res{i}"
-                )(x, mask1, train)
+        x, _ = DenseEncStage(
+            fm[0], False, n_res, self.axis_name, cd, m.remat, name="enc_s1"
+        )(x, mask1, train)
         enc = {1: (x, mask1)}
         masks = {1: mask1}
         for si, stride in enumerate((2, 4, 8)):
-            x, msk = DenseDown(
-                fm[si + 1], self.axis_name, cd, name=f"enc_down{stride}"
+            x, msk = DenseEncStage(
+                fm[si + 1], True, n_res, self.axis_name, cd, m.remat,
+                name=f"enc_s{stride}",
             )(x, masks[stride // 2], train)
-            if not m.heavy_decoder:
-                for i in range(3):
-                    x = DenseResBlock(
-                        fm[si + 1], self.axis_name, cd,
-                        name=f"enc_s{stride}_res{i}",
-                    )(x, msk, train)
             enc[stride] = (x, msk)
             masks[stride] = msk
 
         # ---- dense bottleneck at stride 8 (SPCDense3D) ------------------
-        xb = SPCDense3D(
+        xb = Bottleneck(
             axis_name=self.axis_name, compute_dtype=cd, name="bottleneck"
         )(enc[8][0][None].astype(jnp.float32), train)[0].astype(cd)
         mask8 = bbox_mask(box, 8, inp.global_min, inp.global_max)
@@ -253,61 +401,16 @@ class DensePaSCoNet(nn.Module):
         dense_keep: Dict[int, jnp.ndarray] = {}
         dense_feats: Dict[int, jnp.ndarray] = {}
 
+        dec_n_res = 7 if m.heavy_decoder else 3
         for i, scale in enumerate((4, 2, 1)):
             ch = dec_ch[i + 1]
-            wd = self.param(
-                f"dec_s{scale}_up_kernel", _conv_init, (8, x.shape[-1], ch)
+            x, sem, msk = DenseDecoderStage(
+                ch, S, m.n_classes, dec_n_res, scale, self.axis_name, cd,
+                m.remat, name=f"dec_s{scale}",
+            )(
+                x, parent_keep, enc[scale][0], box,
+                inp.global_min, inp.global_max, train,
             )
-            bd = self.param(
-                f"dec_s{scale}_up_bias", nn.initializers.zeros, (ch,)
-            )
-            x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd)  # parent prune
-            msk = upsample2_mask(parent_keep) & bbox_mask(
-                box, scale, inp.global_min, inp.global_max
-            )
-            f = DenseBN(self.axis_name, name=f"dec_s{scale}_up_bn")(
-                x, msk, train
-            )
-            x = _mask_mul(nn.leaky_relu(f, 0.01), msk)
-
-            norm_c = (
-                cell_coords(box, scale).astype(jnp.float32) / scale
-            ).astype(cd)
-            xc = jnp.concatenate([x, _mask_mul(norm_c, msk)], axis=-1)
-            xc = DenseBN(self.axis_name, name=f"dec_s{scale}_resize_bn")(
-                xc, msk, train
-            )
-            x = DenseConv(ch, 1, compute_dtype=cd, name=f"dec_s{scale}_resize")(
-                xc, msk
-            )
-            x = x + _mask_mul(enc[scale][0].astype(x.dtype), msk)
-
-            n_res = 7 if m.heavy_decoder else 3
-            for ri in range(n_res):
-                x = DenseResBlock(
-                    ch, self.axis_name, cd, name=f"dec_s{scale}_res{ri}"
-                )(x, msk, train)
-
-            wh = self.param(
-                f"dec_s{scale}_head_kernel",
-                nn.initializers.lecun_normal(),
-                (S, ch, m.n_classes),
-            )
-            bh = self.param(
-                f"dec_s{scale}_head_bias", nn.initializers.zeros,
-                (S, m.n_classes),
-            )
-            sem = (
-                jnp.einsum(
-                    "xyzc,sck->xyzsk",
-                    x.astype(jnp.float32),
-                    wh.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                )
-                + bh[None, None, None]
-            )
-            sem = jnp.where(msk[..., None, None], sem, 0)
-
             top_class = jnp.argmax(sem, axis=-1)              # [X,Y,Z,S]
             keep = jnp.any(top_class != 0, axis=-1) & msk
             dense_sem[scale] = sem
@@ -355,8 +458,13 @@ class DensePaSCoNet(nn.Module):
                 batched = jax.tree_util.tree_map(
                     lambda *a: jnp.stack(a), *sub_grids
                 )
+                RefBase = (
+                    nn.remat(VoxelFeatsRefiner, static_argnums=(3,))
+                    if m.remat
+                    else VoxelFeatsRefiner
+                )
                 refined = nn.vmap(
-                    VoxelFeatsRefiner,
+                    RefBase,
                     in_axes=(0, None, None),
                     out_axes=0,
                     variable_axes={"params": 0, "batch_stats": 0},

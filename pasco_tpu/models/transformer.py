@@ -93,9 +93,12 @@ class SelfAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, q_embed, query_pos):
-        q = nn.Dense(self.hidden_dim, name="qk_proj")(q_embed + query_pos)
+        # Distinct Q/K/V projections, matching torch MultiheadAttention's
+        # in_proj; q = k = embed + pos, value = embed (blocks.py:39-41).
+        q = nn.Dense(self.hidden_dim, name="q_proj")(q_embed + query_pos)
+        k = nn.Dense(self.hidden_dim, name="k_proj")(q_embed + query_pos)
         v = nn.Dense(self.hidden_dim, name="v_proj")(q_embed)
-        out = self_attention(q, v, self.num_heads)
+        out = self_attention(q, k, v, self.num_heads)
         out = nn.Dense(self.hidden_dim, name="out_proj")(out)
         return nn.LayerNorm(name="norm")(q_embed + out)
 

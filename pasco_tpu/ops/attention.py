@@ -97,17 +97,19 @@ def masked_cross_attention(
 
 
 def self_attention(
-    q: jnp.ndarray,  # [Q, D] (with query pos already added for q/k)
-    qk: jnp.ndarray,  # [Q, D] value stream (without pos)
+    q: jnp.ndarray,  # [Q, D] projected queries
+    k: jnp.ndarray,  # [Q, D] projected keys
+    v: jnp.ndarray,  # [Q, D] projected values
     num_heads: int,
 ) -> jnp.ndarray:
     """Dense self-attention over the (small) query set."""
     nq, d = q.shape
     dh = d // num_heads
     qh = q.reshape(nq, num_heads, dh).transpose(1, 0, 2)
-    vh = qk.reshape(nq, num_heads, dh).transpose(1, 0, 2)
+    kh = k.reshape(nq, num_heads, dh).transpose(1, 0, 2)
+    vh = v.reshape(nq, num_heads, dh).transpose(1, 0, 2)
     s = jnp.einsum(
-        "hqd,hkd->hqk", qh, qh, preferred_element_type=jnp.float32
+        "hqd,hkd->hqk", qh, kh, preferred_element_type=jnp.float32
     ) * (dh**-0.5)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum(

@@ -138,7 +138,10 @@ def train(
                 tstep.train_step,
                 net=net, tx=tx, labelweights=lw, class_weight=cw, cfg=cfg,
                 is_predict_panop=flag,
-            )
+            ),
+            # Donate the state: without in-place updates the optimizer
+            # update holds two copies of 117M params + moments.
+            donate_argnums=(0,),
         )
         for flag in ({True} if pretrain_sem_epochs == 0 else {True, False})
     }

@@ -60,5 +60,8 @@ def make_optimizer(cfg: OptimConfig, mode: str = "reference"):
             b1=cfg.betas[0],
             b2=cfg.betas[1],
             weight_decay=cfg.weight_decay,
+            # First moment in bf16: halves one of the two optimizer-state
+            # copies of the 117M params (memory headroom for training).
+            mu_dtype=jnp.bfloat16,
         ),
     )

@@ -172,12 +172,16 @@ def create_train_state(
     rng,
     lr_mode: str = "reference",
 ) -> Tuple[TrainState, Any]:
-    variables = net.init(
-        {"params": rng, "dropout": rng, "sample": rng},
-        sample_input,
-        labelweights,
-        train=False,
-    )
+    # init must be jitted: eager (op-by-op) dispatch on the tunnelled TPU
+    # backend takes seconds per primitive.
+    variables = jax.jit(
+        lambda i: net.init(
+            {"params": rng, "dropout": rng, "sample": rng},
+            i,
+            labelweights,
+            train=False,
+        )
+    )(sample_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg.optim, lr_mode)

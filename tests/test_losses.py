@@ -131,3 +131,59 @@ def test_batch_costs_match_elementwise():
                 )
             ).mean()
             assert abs(f - fc[qi, ti]) < 1e-5
+
+
+def test_jax_hungarian_matches_scipy():
+    from scipy.optimize import linear_sum_assignment as slsa
+
+    from pasco_tpu.loss.matcher import jax_linear_sum_assignment
+
+    r = np.random.RandomState(7)
+    for _ in range(20):
+        n = r.randint(1, 30)
+        m = r.randint(n, 80)
+        c = (r.randn(n, m) * r.randint(1, 5)).astype(np.float32)
+        got = np.asarray(jax_linear_sum_assignment(jnp.asarray(c)))
+        ri, ci = slsa(c)
+        assert len(set(got.tolist())) == n          # a permutation
+        assert abs(c[np.arange(n), got].sum() - c[ri, ci].sum()) < 1e-3
+
+
+def test_hungarian_assignment_ignores_invalid_targets():
+    from pasco_tpu.loss.matcher import hungarian_assignment
+
+    r = np.random.RandomState(8)
+    q, t = 20, 8
+    cost = r.randn(q, t).astype(np.float32)
+    valid = np.array([True] * 5 + [False] * 3)
+    out = np.asarray(hungarian_assignment(jnp.asarray(cost), jnp.asarray(valid)))
+    assert (out[5:] == -1).all()
+    assert len(set(out[:5].tolist())) == 5
+    # Optimal over the valid columns only.
+    from scipy.optimize import linear_sum_assignment as slsa
+
+    ri, ci = slsa(cost[:, :5].T)
+    assert abs(
+        cost[out[:5], np.arange(5)].sum() - cost.T[:5][ri, ci].sum()
+    ) < 1e-3
+
+
+def test_hungarian_assignment_more_slots_than_queries():
+    """T_cap > Q (tiny configs): unmatched slots -1, valid slots optimal."""
+    from scipy.optimize import linear_sum_assignment as slsa
+
+    from pasco_tpu.loss.matcher import hungarian_assignment
+
+    r = np.random.RandomState(9)
+    q, t = 6, 15
+    cost = r.randn(q, t).astype(np.float32)
+    valid = np.zeros(t, bool)
+    valid[[0, 3, 7, 11]] = True
+    out = np.asarray(hungarian_assignment(jnp.asarray(cost), jnp.asarray(valid)))
+    assert (out[~valid] == -1).all()
+    matched = out[valid]
+    assert len(set(matched.tolist())) == 4 and (matched >= 0).all()
+    ri, ci = slsa(cost[:, valid])
+    assert abs(
+        cost[matched, np.nonzero(valid)[0]].sum() - cost[:, valid][ri, ci].sum()
+    ) < 1e-3
