@@ -160,6 +160,12 @@ class SceneConfig:
     # augmentation never moves z, so z stays at the canonical 32);
     # dense-mode FLOPs scale linearly with this volume.
     box_extent: Tuple[int, int, int] = (352, 352, 32)
+    # Training-time working box: the reference trains on random 0.8-crops
+    # (``kitti_dataset.py:463-490``), so the train step needs a smaller box
+    # than full-scene inference — (256, 256, 32) is what fits one 16GB chip
+    # with remat + donated state (memory ladder in PERF.md).  None = use
+    # ``box_extent`` for training too (tiny/test configs).
+    train_box_extent: Optional[Tuple[int, int, int]] = (256, 256, 32)
     complete_scale: int = 8
 
 
@@ -258,6 +264,7 @@ def tiny_config(n_infers: int = 1, n_classes: int = 20) -> PaSCoConfig:
         scene=SceneConfig(
             scene_size=(32, 32, 8),
             box_extent=(64, 64, 16),
+            train_box_extent=None,
         ),
         capacity=CapacityConfig(
             num_points=2048,

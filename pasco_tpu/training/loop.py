@@ -102,6 +102,20 @@ def train(
 
     freqs = class_frequencies or CLASS_FREQUENCIES
     net = build_net(cfg)
+    # Train-time working box: parameters are box-independent (convs/BN are
+    # per-channel, the transformer PE is computed from runtime coords), so
+    # the train step compiles against the smaller crop box while validation
+    # runs the full-scene box with the same params.
+    train_cfg = cfg
+    if cfg.scene.train_box_extent is not None:
+        import dataclasses as _dc
+
+        train_cfg = cfg.replace(
+            scene=_dc.replace(
+                cfg.scene, box_extent=cfg.scene.train_box_extent
+            )
+        )
+    train_net = build_net(train_cfg) if train_cfg is not cfg else net
     lw = tstep.labelweights_for(cfg, freqs)
     cw = jnp.asarray(
         tstep.class_weight_vector(cfg.model.n_classes, cfg.loss.no_object_weight)
@@ -112,9 +126,9 @@ def train(
         pretrain_sem_epochs = {4: 2, 3: 1}.get(cfg.model.n_infers, 0)
 
     rng = np.random.RandomState(seed)
-    first = collate(dataset[0], cfg)
+    first = collate(dataset[0], train_cfg)
     state, tx = tstep.create_train_state(
-        net, cfg, tstep.scene_to_model_input(first), lw,
+        train_net, train_cfg, tstep.scene_to_model_input(first), lw,
         jax.random.PRNGKey(seed),
     )
 
@@ -136,8 +150,8 @@ def train(
         flag: jax.jit(
             partial(
                 tstep.train_step,
-                net=net, tx=tx, labelweights=lw, class_weight=cw, cfg=cfg,
-                is_predict_panop=flag,
+                net=train_net, tx=tx, labelweights=lw, class_weight=cw,
+                cfg=train_cfg, is_predict_panop=flag,
             ),
             # Donate the state: without in-place updates the optimizer
             # update holds two copies of 117M params + moments.
@@ -154,7 +168,7 @@ def train(
         if limit_train_batches:
             order = order[:limit_train_batches]
         t_epoch = time.time()
-        for scene in _prefetch(scene_iterator(dataset, cfg, order)):
+        for scene in _prefetch(scene_iterator(dataset, train_cfg, order)):
             inp = tstep.scene_to_model_input(scene)
             tgt = tstep.targets_to_device(scene.targets)
             state, logs = step_fn(state, inp, tgt, jax.random.PRNGKey(seed))

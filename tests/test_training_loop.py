@@ -46,3 +46,43 @@ def test_train_loop_end_to_end(tmp_path):
     # Training logged finite losses.
     lines = open(os.path.join(log_dir, "metrics.jsonl")).read().strip()
     assert "pq_dagger_all" in lines or "epoch" in lines
+
+
+def test_train_loop_crop_box(tmp_path):
+    """Training on a smaller crop box than validation (the flagship memory
+    recipe): params are box-independent, so the same state must train at
+    the crop box and validate at the full box."""
+    import dataclasses
+
+    cfg = tiny_config(n_infers=1)
+    cfg = cfg.replace(
+        scene=dataclasses.replace(cfg.scene, train_box_extent=(48, 48, 16))
+    )
+    ds = SyntheticKittiDataset(
+        n_scenes=1,
+        n_subnets=1,
+        scene_size=cfg.scene.scene_size,
+        n_points=1200,
+        point_feat_dim=cfg.model.in_channels - 6,
+    )
+    val = SyntheticKittiDataset(
+        n_scenes=1,
+        n_subnets=1,
+        scene_size=cfg.scene.scene_size,
+        n_points=1200,
+        point_feat_dim=cfg.model.in_channels - 6,
+        split="val",
+        seed=51,
+    )
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    state = train(
+        cfg,
+        ds,
+        val_dataset=val,
+        n_epochs=1,
+        log_dir=str(tmp_path / "crop_run"),
+        class_frequencies=freqs,
+        limit_train_batches=1,
+        limit_val_batches=1,
+    )
+    assert int(state.step) == 1
