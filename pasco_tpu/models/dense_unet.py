@@ -17,8 +17,9 @@ capped voxel sets feeding the mask transformer and the losses
 Eval parity note: the reference skips the occupancy caps at test time
 (``decoder_v3.py:347``), so dense eval is exact.  At train time the
 reference prunes (multinomial-capped) voxels before the next decoder
-block; here the cap applies at extraction while the dense pass keeps all
-non-empty voxels — a mild regularisation difference only.
+block; :func:`pasco_tpu.ops.dense_ops.cap_keep_gumbel` reproduces that
+(Gumbel-top-k == weighted sampling without replacement) on the dense
+keep mask feeding the next stage and the extractions.
 """
 
 from __future__ import annotations
@@ -33,12 +34,13 @@ from pasco_tpu.core.config import PaSCoConfig
 from pasco_tpu.core.sparse import Box, SparseGrid
 from pasco_tpu.models.blocks import _conv_init
 from pasco_tpu.models.bottleneck import SPCDense3D
-from pasco_tpu.models.decoder import DecoderOutput, VoxelFeatsRefiner
+from pasco_tpu.models.decoder import DecoderOutput
 from pasco_tpu.models.norm import MaskedBatchNorm
 from pasco_tpu.models.transformer import TransformerPredictor
 from pasco_tpu.models.unet import ModelInput, ModelOutput
 from pasco_tpu.ops.dense_ops import (
     bbox_mask,
+    cap_keep_gumbel,
     cell_coords,
     conv3_dense,
     deconv2_dense,
@@ -47,6 +49,15 @@ from pasco_tpu.ops.dense_ops import (
     maxpool2_mask,
     upsample2_mask,
 )
+
+
+# Internal volume layout of the dense substrate: [X, Z, Y, C].  Keeping
+# the short z extent away from the sublane (channel-adjacent) position
+# makes XLA's TPU convolutions 1.4-8x faster per scale (measured; see
+# ops/dense_ops.py docstring).  Weight layouts are unchanged — the dense
+# ops permute kernel taps internally — and all SparseGrid outputs carry
+# explicit (x, y, z) coords, so nothing outside this module changes.
+ORDER = "xzy"
 
 
 def _mask_mul(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -137,7 +148,9 @@ class DenseConv(nn.Module):
                 out = out + b.astype(out.dtype)
             out = out.astype(x.dtype)
         else:
-            out = conv3_dense(x, w, b, compute_dtype=self.compute_dtype)
+            out = conv3_dense(
+                x, w, b, compute_dtype=self.compute_dtype, axis_order=ORDER
+            )
         return _mask_mul(out, mask)
 
 
@@ -182,7 +195,7 @@ class DenseDown(nn.Module):
     def __call__(self, x, mask, train):
         w = self.param("kernel", _conv_init, (8, x.shape[-1], self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        out = down2_dense(x, w, b, self.compute_dtype)
+        out = down2_dense(x, w, b, self.compute_dtype, axis_order=ORDER)
         new_mask = maxpool2_mask(mask)
         f = DenseBN(self.axis_name, name="bn1")(out, new_mask, train)
         f = nn.leaky_relu(f, 0.01)
@@ -248,13 +261,15 @@ class DenseDecoderStage(nn.Module):
         )
         wd = self.param("up_kernel", _conv_init, (8, x.shape[-1], ch))
         bd = self.param("up_bias", nn.initializers.zeros, (ch,))
-        x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd)
-        msk = upsample2_mask(parent_keep) & bbox_mask(box, self.scale, gmin, gmax)
+        x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd, axis_order=ORDER)
+        msk = upsample2_mask(parent_keep) & bbox_mask(
+            box, self.scale, gmin, gmax, ORDER
+        )
         f = DenseBN(self.axis_name, name="up_bn")(x, msk, train)
         x = _mask_mul(nn.leaky_relu(f, 0.01), msk)
 
         norm_c = (
-            cell_coords(box, self.scale).astype(jnp.float32) / self.scale
+            cell_coords(box, self.scale, ORDER).astype(jnp.float32) / self.scale
         ).astype(x.dtype)
         xc = jnp.concatenate([x, _mask_mul(norm_c, msk)], axis=-1)
         xc = DenseBN(self.axis_name, name="resize_bn")(xc, msk, train)
@@ -274,17 +289,50 @@ class DenseDecoderStage(nn.Module):
         bh = self.param(
             "head_bias", nn.initializers.zeros, (self.n_infers, self.n_classes)
         )
+        # bf16 operands + f32 accumulation: avoids materialising an f32
+        # copy of the full-scale feature volume just for the head einsum.
         sem = (
             jnp.einsum(
                 "xyzc,sck->xyzsk",
-                x.astype(jnp.float32),
-                wh.astype(jnp.float32),
+                x,
+                wh.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )
             + bh[None, None, None]
         )
         sem = jnp.where(msk[..., None, None], sem, 0)
         return x, sem.astype(jnp.bfloat16), msk
+
+
+class DenseVoxelFeatsRefiner(nn.Module):
+    """Per-subnet two-conv refiner (reference ``decoder_v3.py:266-283``)
+    in the dense-with-masks formulation.
+
+    The reference applies a submanifold conv pair to the per-subnet
+    *pruned* sparse tensor; masking the shared dense features to the
+    subnet's keep set before/after each conv is numerically identical.
+    Replaces the gather-based sparse refiner, which profiling showed
+    running at 5-100 GB/s of random row fetches (~137 ms/scan) versus
+    the near-roofline dense convs.  Parameter tree (conv1/bn/conv2)
+    matches :class:`pasco_tpu.models.decoder.VoxelFeatsRefiner` and the
+    checkpoint converter.
+    """
+
+    channels: int
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, keep, train):
+        g = DenseConv(
+            self.channels, 3, use_bias=False, compute_dtype=self.compute_dtype,
+            name="conv1",
+        )(_mask_mul(x, keep), keep)
+        f = DenseBN(self.axis_name, name="bn")(g, keep, train)
+        g = nn.relu(f)  # DenseBN zeroes masked cells; relu keeps them zero
+        return DenseConv(
+            self.channels, 3, compute_dtype=self.compute_dtype, name="conv2"
+        )(g, keep)
 
 
 class PointMLP(nn.Module):
@@ -350,21 +398,24 @@ class DensePaSCoNet(nn.Module):
             & jnp.all(rel >= 0, -1)
             & (rel[:, 0] < ex) & (rel[:, 1] < ey) & (rel[:, 2] < ez)
         )
-        cell = (rel[:, 0] * ey + rel[:, 1]) * ez + rel[:, 2]
+        # Volumes are laid out [X, Z, Y, C] (see ORDER above): cell ids
+        # enumerate y fastest.
+        cell = (rel[:, 0] * ez + rel[:, 2]) * ey + rel[:, 1]
         subnet = jnp.clip(inp.point_coords[:, 0], 0, S - 1)
         flat_idx = jnp.where(in_box, subnet * n_cells + cell, S * n_cells)
         neg = jnp.asarray(-jnp.inf, cd)
         grid_f = jnp.full((S * n_cells + 1, m.f), neg, cd)
         grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
-        occ = jnp.zeros((S * n_cells + 1,), jnp.bool_).at[flat_idx].max(
-            in_box, mode="drop"
-        )
+        # A cell is occupied iff any point scattered into it, iff channel 0
+        # rose above the -inf init — spares a second (bool) scatter pass,
+        # which profiling put at ~14 ms/scan.
+        occ = grid_f[:, 0] > neg
         grid_f = jnp.where(occ[:, None], grid_f, 0)[:-1]
-        sub_mask = occ[:-1].reshape(S, ex, ey, ez)
+        sub_mask = occ[:-1].reshape(S, ex, ez, ey)
         x = (
             grid_f.reshape(S, n_cells, m.f)
             .transpose(1, 0, 2)
-            .reshape(ex, ey, ez, S * m.f)
+            .reshape(ex, ez, ey, S * m.f)
         )
         mask1 = jnp.any(sub_mask, axis=0)
 
@@ -386,10 +437,15 @@ class DensePaSCoNet(nn.Module):
             masks[stride] = msk
 
         # ---- dense bottleneck at stride 8 (SPCDense3D) ------------------
+        # SPCDense3D's anisotropic (kx, ky, kz) kernels expect [X, Y, Z, C];
+        # the stride-8 volume is tiny (44x44x4 cells), so transposing in
+        # and out costs nothing.
+        x8 = enc[8][0].transpose(0, 2, 1, 3)
         xb = Bottleneck(
             axis_name=self.axis_name, compute_dtype=cd, name="bottleneck"
-        )(enc[8][0][None].astype(jnp.float32), train)[0].astype(cd)
-        mask8 = bbox_mask(box, 8, inp.global_min, inp.global_max)
+        )(x8[None].astype(jnp.float32), train)[0].astype(cd)
+        xb = xb.transpose(0, 2, 1, 3)
+        mask8 = bbox_mask(box, 8, inp.global_min, inp.global_max, ORDER)
         x = _mask_mul(xb, mask8)
         parent_keep = mask8
 
@@ -413,6 +469,21 @@ class DensePaSCoNet(nn.Module):
             )
             top_class = jnp.argmax(sem, axis=-1)              # [X,Y,Z,S]
             keep = jnp.any(top_class != 0, axis=-1) & msk
+            if train:
+                # Reference train-time voxel cap (decoder_v3.py:347-377):
+                # weighted multinomial sampling == Gumbel-top-k on the best
+                # subnet's (max prob x class weight); capped keep feeds the
+                # next decoder stage and the extractions.
+                probs = jax.nn.softmax(sem.astype(jnp.float32), axis=-1)
+                w = compl_labelweights.get(scale)
+                tp = jnp.max(probs, axis=-1)                  # [X,Y,Z,S]
+                if w is not None:
+                    tp = tp * w[top_class]
+                score = jnp.max(tp * (top_class != 0), axis=-1)
+                keep = cap_keep_gumbel(
+                    keep, score, cap.dec_capacity(scale),
+                    self.make_rng("sample"),
+                )
             dense_sem[scale] = sem
             dense_keep[scale] = keep
             dense_feats[scale] = x
@@ -424,6 +495,7 @@ class DensePaSCoNet(nn.Module):
                 scale,
                 cap.dec_capacity(scale),
                 extra=sem.reshape(*sem.shape[:3], S * m.n_classes),
+                axis_order=ORDER,
             )
             xs[scale] = grid
             sem_at[scale] = extra.astype(jnp.float32).reshape(
@@ -431,7 +503,7 @@ class DensePaSCoNet(nn.Module):
             )
             parent_keep = keep
 
-        # ---- panop extraction + per-subnet refiners ---------------------
+        # ---- panop: per-subnet dense refiners + extraction --------------
         panop_grids: Dict[int, SparseGrid] = {}
         sem_pruned = jnp.zeros((S, cap.panop_s1, m.n_classes), jnp.float32)
         if is_predict_panop:
@@ -439,33 +511,25 @@ class DensePaSCoNet(nn.Module):
                 sem = dense_sem[scale]
                 xdense = dense_feats[scale]
                 pcap = cap.panop_capacity(scale)
-                sub_grids, sub_sems = [], []
-                for s in range(S):
-                    in_bb = bbox_mask(
-                        box, scale, inp.subnet_min[s], inp.subnet_max[s]
-                    )
-                    keep_s = (
+                keep_stack = jnp.stack(
+                    [
                         (jnp.argmax(sem[..., s, :], -1) != 0)
-                        & in_bb
+                        & bbox_mask(
+                            box, scale, inp.subnet_min[s], inp.subnet_max[s],
+                            ORDER,
+                        )
                         & dense_keep[scale]
-                    )
-                    g, e = extract_sparse(
-                        xdense, keep_s, box, scale, pcap, extra=sem[..., s, :]
-                    )
-                    g = g.replace(coords=g.coords.at[:, 0].set(s))
-                    sub_grids.append(g)
-                    sub_sems.append(e.astype(jnp.float32))
-                batched = jax.tree_util.tree_map(
-                    lambda *a: jnp.stack(a), *sub_grids
-                )
+                        for s in range(S)
+                    ]
+                )                                             # [S, X, Z, Y]
                 RefBase = (
-                    nn.remat(VoxelFeatsRefiner, static_argnums=(3,))
+                    nn.remat(DenseVoxelFeatsRefiner, static_argnums=(3,))
                     if m.remat
-                    else VoxelFeatsRefiner
+                    else DenseVoxelFeatsRefiner
                 )
                 refined = nn.vmap(
                     RefBase,
-                    in_axes=(0, None, None),
+                    in_axes=(None, 0, None),
                     out_axes=0,
                     variable_axes={"params": 0, "batch_stats": 0},
                     split_rngs={"params": True, "dropout": True},
@@ -474,8 +538,19 @@ class DensePaSCoNet(nn.Module):
                     axis_name=self.axis_name,
                     compute_dtype=cd,
                     name=f"voxel_feats_s{scale}",
-                )(batched, box, train)
-                panop_grids[scale] = refined
+                )(xdense, keep_stack, train)                  # [S, X, Z, Y, C]
+                sub_grids, sub_sems = [], []
+                for s in range(S):
+                    g, e = extract_sparse(
+                        refined[s], keep_stack[s], box, scale, pcap,
+                        extra=sem[..., s, :], axis_order=ORDER,
+                    )
+                    g = g.replace(coords=g.coords.at[:, 0].set(s))
+                    sub_grids.append(g)
+                    sub_sems.append(e.astype(jnp.float32))
+                panop_grids[scale] = jax.tree_util.tree_map(
+                    lambda *a: jnp.stack(a), *sub_grids
+                )
                 if scale == 1:
                     sem_pruned = jnp.stack(sub_sems)
 

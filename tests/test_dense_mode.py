@@ -147,3 +147,76 @@ def test_dense_forward_and_train():
         losses.append(float(logs["total_loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] <= losses[0]
+
+
+# ---------------------------------------------------------------------------
+# [X, Z, Y, C] axis order (the dense substrate's internal layout)
+# ---------------------------------------------------------------------------
+
+
+def test_conv3_dense_xzy_matches_xyz():
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(6, 5, 4, 3).astype(np.float32))   # [X, Y, Z, C]
+    w = jnp.asarray(r.randn(27, 3, 7).astype(np.float32))
+    b = jnp.asarray(r.randn(7).astype(np.float32))
+    ref = conv3_dense(x, w, b)
+    out = conv3_dense(x.transpose(0, 2, 1, 3), w, b, axis_order="xzy")
+    np.testing.assert_allclose(
+        np.asarray(out.transpose(0, 2, 1, 3)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_down_deconv_xzy_match_xyz():
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.randn(6, 4, 8, 3).astype(np.float32))   # [X, Y, Z, C]
+    w = jnp.asarray(r.randn(8, 3, 5).astype(np.float32))
+    b = jnp.asarray(r.randn(5).astype(np.float32))
+    ref = down2_dense(x, w, b)
+    out = down2_dense(x.transpose(0, 2, 1, 3), w, b, axis_order="xzy")
+    np.testing.assert_allclose(
+        np.asarray(out.transpose(0, 2, 1, 3)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+    wd = jnp.asarray(r.randn(8, 3, 5).astype(np.float32))
+    ref = deconv2_dense(x, wd, b)
+    out = deconv2_dense(x.transpose(0, 2, 1, 3), wd, b, axis_order="xzy")
+    np.testing.assert_allclose(
+        np.asarray(out.transpose(0, 2, 1, 3)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_extract_sparse_xzy_coords():
+    from pasco_tpu.ops.dense_ops import bbox_mask, cell_coords
+
+    r = np.random.RandomState(2)
+    box = Box.create([0, -8, 0], (8, 16, 4))
+    feats = jnp.asarray(r.randn(8, 16, 4, 3).astype(np.float32))
+    keep = jnp.asarray(r.rand(8, 16, 4) > 0.5)
+    g_ref, _ = extract_sparse(feats, keep, box, 1, capacity=512)
+    g_xzy, _ = extract_sparse(
+        feats.transpose(0, 2, 1, 3), keep.transpose(0, 2, 1), box, 1,
+        capacity=512, axis_order="xzy",
+    )
+    # Same (coord -> feature) mapping regardless of enumeration order.
+    def as_map(g):
+        out = {}
+        for i in range(int(np.sum(np.asarray(g.mask)))):
+            out[tuple(np.asarray(g.coords[i]))] = np.asarray(g.feats[i])
+        return out
+    m_ref, m_xzy = as_map(g_ref), as_map(g_xzy)
+    assert set(m_ref) == set(m_xzy)
+    for k in m_ref:
+        np.testing.assert_allclose(m_ref[k], m_xzy[k], rtol=1e-6)
+    # bbox mask / coords transpose-consistency
+    bm = bbox_mask(box, 1, jnp.asarray([2, -4, 1]), jnp.asarray([6, 4, 3]))
+    bm_xzy = bbox_mask(
+        box, 1, jnp.asarray([2, -4, 1]), jnp.asarray([6, 4, 3]), "xzy"
+    )
+    assert np.array_equal(np.asarray(bm_xzy), np.asarray(bm.transpose(0, 2, 1)))
+    cc = cell_coords(box, 2)
+    cc_xzy = cell_coords(box, 2, "xzy")
+    assert np.array_equal(
+        np.asarray(cc_xzy), np.asarray(cc.transpose(0, 2, 1, 3))
+    )
