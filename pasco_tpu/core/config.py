@@ -132,6 +132,12 @@ class ModelConfig:
     # over the working box (near-roofline on TPU; see models/dense_unet.py),
     # "sparse" uses the gather-based sparse substrate (reference-shaped).
     substrate: str = "dense"
+    # Fold z-pairs into channels at strides 1 and 2 of the dense substrate
+    # ([X, Z, Y, C] -> [X, Z/2, Y, 2C]): fills the 128-lane tile (C=64
+    # volumes otherwise pad 2x in HBM) and runs the conv as two batched 2D
+    # convs — measured ~1.8x faster per stride-1 conv in context.
+    # Requires the working-box z extent divisible by 4.
+    z_pack: bool = True
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
 
     @property

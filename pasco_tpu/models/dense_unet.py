@@ -40,13 +40,22 @@ from pasco_tpu.models.transformer import TransformerPredictor
 from pasco_tpu.models.unet import ModelInput, ModelOutput
 from pasco_tpu.ops.dense_ops import (
     bbox_mask,
+    blockdiag2_weight,
     cap_keep_gumbel,
     cell_coords,
     conv3_dense,
+    conv3_packed_z2,
     deconv2_dense,
+    deconv2_packed_to_packed,
+    deconv2_plain_to_packed,
     down2_dense,
+    down2_packed_to_packed,
+    down2_packed_to_plain,
     extract_sparse,
+    extract_sparse_z2,
+    mask_mul_z2,
     maxpool2_mask,
+    pack_z2,
     upsample2_mask,
 )
 
@@ -64,6 +73,14 @@ def _mask_mul(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask[..., None], x, 0)
 
 
+def _mm(x: jnp.ndarray, mask: jnp.ndarray, packed: bool) -> jnp.ndarray:
+    """Mask a (possibly z-pair-packed) volume with a LOGICAL [X, Z, Y]
+    occupancy mask; slot masks are cheap strided views."""
+    if packed:
+        return mask_mul_z2(x, mask[:, 0::2], mask[:, 1::2])
+    return jnp.where(mask[..., None], x, 0)
+
+
 class DenseBN(nn.Module):
     """Masked BatchNorm over the valid cells of a dense volume (stats
     exclude empty cells, like ME BatchNorm over sparse voxels).
@@ -76,10 +93,11 @@ class DenseBN(nn.Module):
     axis_name: Optional[str] = None
     momentum: float = 0.9
     epsilon: float = 1e-5
+    packed: bool = False   # x is z-pair packed [X, T, Y, 2C]; mask logical
 
     @nn.compact
     def __call__(self, x, mask, train):
-        c = x.shape[-1]
+        c = x.shape[-1] // 2 if self.packed else x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
         )
@@ -91,12 +109,15 @@ class DenseBN(nn.Module):
 
         axes = tuple(range(x.ndim - 1))
         if train:
-            mx = jnp.where(mask[..., None], x, 0).astype(jnp.float32)
+            mx = _mm(x, mask, self.packed).astype(jnp.float32)
             cnt = jnp.maximum(
                 jnp.sum(mask.astype(jnp.float32)), 1.0
             )
             s1 = jnp.sum(mx, axis=axes)
             s2 = jnp.sum(jnp.square(mx), axis=axes)
+            if self.packed:  # fold the two slot halves per logical channel
+                s1 = s1[:c] + s1[c:]
+                s2 = s2[:c] + s2[c:]
             if self.axis_name is not None:
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)
@@ -114,8 +135,14 @@ class DenseBN(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(x.dtype)
-        out = (x - mean.astype(x.dtype)) * inv + bias.astype(x.dtype)
-        return jnp.where(mask[..., None], out, 0)
+        mean = mean.astype(x.dtype)
+        b = bias.astype(x.dtype)
+        if self.packed:
+            inv = jnp.concatenate([inv, inv])
+            mean = jnp.concatenate([mean, mean])
+            b = jnp.concatenate([b, b])
+        out = (x - mean) * inv + b
+        return _mm(out, mask, self.packed)
 
 
 class DenseConv(nn.Module):
@@ -125,11 +152,13 @@ class DenseConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     compute_dtype: Optional[jnp.dtype] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
         k = self.kernel_size**3
-        w = self.param("kernel", _conv_init, (k, x.shape[-1], self.out_channels))
+        in_ch = x.shape[-1] // 2 if self.packed else x.shape[-1]
+        w = self.param("kernel", _conv_init, (k, in_ch, self.out_channels))
         b = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,))
             if self.use_bias
@@ -138,20 +167,25 @@ class DenseConv(nn.Module):
         # Contract: inputs are already masked by their producer (every op
         # in this module re-masks its output), so no input pass is needed;
         # the output mask stops bias leakage at empty cells.
+        cd = self.compute_dtype or x.dtype
         if self.kernel_size == 1:
-            cd = self.compute_dtype or x.dtype
+            wk = w[0].astype(cd)
+            if self.packed:
+                wk = blockdiag2_weight(wk)
             out = jnp.dot(
-                x.astype(cd).reshape(-1, x.shape[-1]),
-                w[0].astype(cd),
-            ).reshape(*x.shape[:-1], self.out_channels)
+                x.astype(cd).reshape(-1, x.shape[-1]), wk
+            ).reshape(*x.shape[:-1], -1)
             if b is not None:
-                out = out + b.astype(out.dtype)
+                bb = jnp.concatenate([b, b]) if self.packed else b
+                out = out + bb.astype(out.dtype)
             out = out.astype(x.dtype)
+        elif self.packed:
+            out = conv3_packed_z2(x, w, b, compute_dtype=cd)
         else:
             out = conv3_dense(
                 x, w, b, compute_dtype=self.compute_dtype, axis_order=ORDER
             )
-        return _mask_mul(out, mask)
+        return _mm(out, mask, self.packed)
 
 
 class DenseResBlock(nn.Module):
@@ -160,28 +194,35 @@ class DenseResBlock(nn.Module):
     out_channels: int
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // 2 if self.packed else x.shape[-1]
         if in_ch == self.out_channels:
             skip = x
         else:
             skip = DenseConv(
                 self.out_channels, 1, compute_dtype=self.compute_dtype,
-                name="downsample",
+                packed=self.packed, name="downsample",
             )(x, mask)
-        f = DenseBN(self.axis_name, name="bn1")(x, mask, train)
+        f = DenseBN(self.axis_name, packed=self.packed, name="bn1")(
+            x, mask, train
+        )
         f = nn.relu(f)
         f = DenseConv(
-            self.out_channels, 3, compute_dtype=self.compute_dtype, name="conv1"
+            self.out_channels, 3, compute_dtype=self.compute_dtype,
+            packed=self.packed, name="conv1",
         )(f, mask)
-        f = DenseBN(self.axis_name, name="bn2")(f, mask, train)
+        f = DenseBN(self.axis_name, packed=self.packed, name="bn2")(
+            f, mask, train
+        )
         f = nn.relu(f)
         f = DenseConv(
-            self.out_channels, 3, compute_dtype=self.compute_dtype, name="conv2"
+            self.out_channels, 3, compute_dtype=self.compute_dtype,
+            packed=self.packed, name="conv2",
         )(f, mask)
-        return _mask_mul(nn.relu(skip + f), mask)
+        return _mm(nn.relu(skip + f), mask, self.packed)
 
 
 class DenseDown(nn.Module):
@@ -190,18 +231,30 @@ class DenseDown(nn.Module):
     out_channels: int
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
+    in_packed: bool = False
+    out_packed: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
-        w = self.param("kernel", _conv_init, (8, x.shape[-1], self.out_channels))
+        in_ch = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
+        w = self.param("kernel", _conv_init, (8, in_ch, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        out = down2_dense(x, w, b, self.compute_dtype, axis_order=ORDER)
+        if self.in_packed and self.out_packed:
+            out = down2_packed_to_packed(x, w, b, self.compute_dtype)
+        elif self.in_packed:
+            out = down2_packed_to_plain(x, w, b, self.compute_dtype)
+        else:
+            out = down2_dense(x, w, b, self.compute_dtype, axis_order=ORDER)
         new_mask = maxpool2_mask(mask)
-        f = DenseBN(self.axis_name, name="bn1")(out, new_mask, train)
+        f = DenseBN(self.axis_name, packed=self.out_packed, name="bn1")(
+            out, new_mask, train
+        )
         f = nn.leaky_relu(f, 0.01)
-        f = DenseBN(self.axis_name, name="bn2")(f, new_mask, train)
+        f = DenseBN(self.axis_name, packed=self.out_packed, name="bn2")(
+            f, new_mask, train
+        )
         f = nn.relu(f)
-        return _mask_mul(f, new_mask), new_mask
+        return _mm(f, new_mask, self.out_packed), new_mask
 
 
 class DenseEncStage(nn.Module):
@@ -215,6 +268,8 @@ class DenseEncStage(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = True
+    in_packed: bool = False
+    out_packed: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
@@ -226,12 +281,13 @@ class DenseEncStage(nn.Module):
         if self.down:
             x, mask = DenseDown(
                 self.out_channels, self.axis_name, self.compute_dtype,
+                in_packed=self.in_packed, out_packed=self.out_packed,
                 name="down",
             )(x, mask, train)
         for i in range(self.n_res):
             x = Block(
                 self.out_channels, self.axis_name, self.compute_dtype,
-                name=f"res{i}",
+                packed=self.out_packed, name=f"res{i}",
             )(x, mask, train)
         return x, mask
 
@@ -249,36 +305,52 @@ class DenseDecoderStage(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = True
+    in_packed: bool = False
+    out_packed: bool = False
 
     @nn.compact
     def __call__(self, x, parent_keep, skip, box, gmin, gmax, train):
         cd = self.compute_dtype
         ch = self.out_channels
+        pk = self.out_packed
         Block = (
             nn.remat(DenseResBlock, static_argnums=(3,))
             if self.remat
             else DenseResBlock
         )
-        wd = self.param("up_kernel", _conv_init, (8, x.shape[-1], ch))
+        in_ch = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
+        wd = self.param("up_kernel", _conv_init, (8, in_ch, ch))
         bd = self.param("up_bias", nn.initializers.zeros, (ch,))
-        x = deconv2_dense(_mask_mul(x, parent_keep), wd, bd, cd, axis_order=ORDER)
+        xm = _mm(x, parent_keep, self.in_packed)
+        if self.in_packed and pk:
+            x = deconv2_packed_to_packed(xm, wd, bd, cd)
+        elif pk:
+            x = deconv2_plain_to_packed(xm, wd, bd, cd)
+        else:
+            x = deconv2_dense(xm, wd, bd, cd, axis_order=ORDER)
         msk = upsample2_mask(parent_keep) & bbox_mask(
             box, self.scale, gmin, gmax, ORDER
         )
-        f = DenseBN(self.axis_name, name="up_bn")(x, msk, train)
-        x = _mask_mul(nn.leaky_relu(f, 0.01), msk)
+        f = DenseBN(self.axis_name, packed=pk, name="up_bn")(x, msk, train)
+        x = _mm(nn.leaky_relu(f, 0.01), msk, pk)
 
         norm_c = (
             cell_coords(box, self.scale, ORDER).astype(jnp.float32) / self.scale
         ).astype(x.dtype)
-        xc = jnp.concatenate([x, _mask_mul(norm_c, msk)], axis=-1)
-        xc = DenseBN(self.axis_name, name="resize_bn")(xc, msk, train)
-        x = DenseConv(ch, 1, compute_dtype=cd, name="resize")(xc, msk)
-        x = x + _mask_mul(skip.astype(x.dtype), msk)
+        if pk:
+            ncp = _mm(pack_z2(norm_c), msk, True)
+            xc = jnp.concatenate(
+                [x[..., :ch], ncp[..., :3], x[..., ch:], ncp[..., 3:]], axis=-1
+            )
+        else:
+            xc = jnp.concatenate([x, _mm(norm_c, msk, False)], axis=-1)
+        xc = DenseBN(self.axis_name, packed=pk, name="resize_bn")(xc, msk, train)
+        x = DenseConv(ch, 1, compute_dtype=cd, packed=pk, name="resize")(xc, msk)
+        x = x + _mm(skip.astype(x.dtype), msk, pk)
 
         for ri in range(self.n_res):
             x = Block(
-                ch, self.axis_name, cd, name=f"res{ri}"
+                ch, self.axis_name, cd, packed=pk, name=f"res{ri}"
             )(x, msk, train)
 
         wh = self.param(
@@ -291,15 +363,29 @@ class DenseDecoderStage(nn.Module):
         )
         # bf16 operands + f32 accumulation: avoids materialising an f32
         # copy of the full-scale feature volume just for the head einsum.
-        sem = (
-            jnp.einsum(
-                "xyzc,sck->xyzsk",
-                x,
-                wh.astype(x.dtype),
+        whx = wh.astype(x.dtype)
+        if pk:
+            sem_lo = jnp.einsum(
+                "xtyc,sck->xtysk", x[..., :ch], whx,
                 preferred_element_type=jnp.float32,
             )
-            + bh[None, None, None]
-        )
+            sem_hi = jnp.einsum(
+                "xtyc,sck->xtysk", x[..., ch:], whx,
+                preferred_element_type=jnp.float32,
+            )
+            X_, T_, Y_ = sem_lo.shape[0], sem_lo.shape[1], sem_lo.shape[2]
+            sem = jnp.stack([sem_lo, sem_hi], axis=2).reshape(
+                X_, 2 * T_, Y_, self.n_infers, self.n_classes
+            )
+            sem = sem + bh[None, None, None]
+        else:
+            sem = (
+                jnp.einsum(
+                    "xyzc,sck->xyzsk", x, whx,
+                    preferred_element_type=jnp.float32,
+                )
+                + bh[None, None, None]
+            )
         sem = jnp.where(msk[..., None, None], sem, 0)
         return x, sem.astype(jnp.bfloat16), msk
 
@@ -321,17 +407,21 @@ class DenseVoxelFeatsRefiner(nn.Module):
     channels: int
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, keep, train):
         g = DenseConv(
             self.channels, 3, use_bias=False, compute_dtype=self.compute_dtype,
-            name="conv1",
-        )(_mask_mul(x, keep), keep)
-        f = DenseBN(self.axis_name, name="bn")(g, keep, train)
+            packed=self.packed, name="conv1",
+        )(_mm(x, keep, self.packed), keep)
+        f = DenseBN(self.axis_name, packed=self.packed, name="bn")(
+            g, keep, train
+        )
         g = nn.relu(f)  # DenseBN zeroes masked cells; relu keeps them zero
         return DenseConv(
-            self.channels, 3, compute_dtype=self.compute_dtype, name="conv2"
+            self.channels, 3, compute_dtype=self.compute_dtype,
+            packed=self.packed, name="conv2",
         )(g, keep)
 
 
@@ -419,18 +509,31 @@ class DensePaSCoNet(nn.Module):
         )
         mask1 = jnp.any(sub_mask, axis=0)
 
+        # z-pack the stride-1/2 stages ([X, Z, Y, C] -> [X, Z/2, Y, 2C]):
+        # fills the 128-lane tile and runs convs as batched 2D pairs —
+        # measured ~1.8x per stride-1 conv in context.  Masks stay logical.
+        zp = bool(m.z_pack) and ez % 4 == 0
+        packed_scales = {1, 2} if zp else set()
+        if zp:
+            x = pack_z2(x)
+
         # ---- encoder ----------------------------------------------------
         fm = m.f_maps
         n_res = 0 if m.heavy_decoder else 3
-        x = DenseConv(fm[0], 1, compute_dtype=cd, name="enc_in")(x, mask1)
+        x = DenseConv(fm[0], 1, compute_dtype=cd, packed=zp, name="enc_in")(
+            x, mask1
+        )
         x, _ = DenseEncStage(
-            fm[0], False, n_res, self.axis_name, cd, m.remat, name="enc_s1"
+            fm[0], False, n_res, self.axis_name, cd, m.remat,
+            in_packed=zp, out_packed=zp, name="enc_s1",
         )(x, mask1, train)
         enc = {1: (x, mask1)}
         masks = {1: mask1}
         for si, stride in enumerate((2, 4, 8)):
             x, msk = DenseEncStage(
                 fm[si + 1], True, n_res, self.axis_name, cd, m.remat,
+                in_packed=(stride // 2) in packed_scales,
+                out_packed=stride in packed_scales,
                 name=f"enc_s{stride}",
             )(x, masks[stride // 2], train)
             enc[stride] = (x, msk)
@@ -462,7 +565,10 @@ class DensePaSCoNet(nn.Module):
             ch = dec_ch[i + 1]
             x, sem, msk = DenseDecoderStage(
                 ch, S, m.n_classes, dec_n_res, scale, self.axis_name, cd,
-                m.remat, name=f"dec_s{scale}",
+                m.remat,
+                in_packed=(scale * 2) in packed_scales,
+                out_packed=scale in packed_scales,
+                name=f"dec_s{scale}",
             )(
                 x, parent_keep, enc[scale][0], box,
                 inp.global_min, inp.global_max, train,
@@ -488,15 +594,17 @@ class DensePaSCoNet(nn.Module):
             dense_keep[scale] = keep
             dense_feats[scale] = x
 
-            grid, extra = extract_sparse(
-                x,
-                keep,
-                box,
-                scale,
-                cap.dec_capacity(scale),
-                extra=sem.reshape(*sem.shape[:3], S * m.n_classes),
-                axis_order=ORDER,
-            )
+            if scale in packed_scales:
+                grid, extra = extract_sparse_z2(
+                    x, keep, box, scale, cap.dec_capacity(scale),
+                    extra=sem.reshape(*sem.shape[:3], S * m.n_classes),
+                )
+            else:
+                grid, extra = extract_sparse(
+                    x, keep, box, scale, cap.dec_capacity(scale),
+                    extra=sem.reshape(*sem.shape[:3], S * m.n_classes),
+                    axis_order=ORDER,
+                )
             xs[scale] = grid
             sem_at[scale] = extra.astype(jnp.float32).reshape(
                 cap.dec_capacity(scale), S, m.n_classes
@@ -527,6 +635,10 @@ class DensePaSCoNet(nn.Module):
                     if m.remat
                     else DenseVoxelFeatsRefiner
                 )
+                pscale = scale in packed_scales
+                ch_s = (
+                    xdense.shape[-1] // 2 if pscale else xdense.shape[-1]
+                )
                 refined = nn.vmap(
                     RefBase,
                     in_axes=(None, 0, None),
@@ -534,17 +646,24 @@ class DensePaSCoNet(nn.Module):
                     variable_axes={"params": 0, "batch_stats": 0},
                     split_rngs={"params": True, "dropout": True},
                 )(
-                    channels=xdense.shape[-1],
+                    channels=ch_s,
                     axis_name=self.axis_name,
                     compute_dtype=cd,
+                    packed=pscale,
                     name=f"voxel_feats_s{scale}",
                 )(xdense, keep_stack, train)                  # [S, X, Z, Y, C]
                 sub_grids, sub_sems = [], []
                 for s in range(S):
-                    g, e = extract_sparse(
-                        refined[s], keep_stack[s], box, scale, pcap,
-                        extra=sem[..., s, :], axis_order=ORDER,
-                    )
+                    if pscale:
+                        g, e = extract_sparse_z2(
+                            refined[s], keep_stack[s], box, scale, pcap,
+                            extra=sem[..., s, :],
+                        )
+                    else:
+                        g, e = extract_sparse(
+                            refined[s], keep_stack[s], box, scale, pcap,
+                            extra=sem[..., s, :], axis_order=ORDER,
+                        )
                     g = g.replace(coords=g.coords.at[:, 0].set(s))
                     sub_grids.append(g)
                     sub_sems.append(e.astype(jnp.float32))

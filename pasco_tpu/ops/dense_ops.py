@@ -182,6 +182,264 @@ def deconv2_dense(
     return out
 
 
+# ---------------------------------------------------------------------------
+# z-pair packing ("packed" layout of the s1/s2 stages)
+#
+# A packed volume folds pairs of adjacent z cells into the channel dim:
+# [X, Z, Y, C] (xzy order) -> [X, T=Z/2, Y, 2C], lanes = [z=2t | z=2t+1].
+# Why: C=64/128 volumes pad to 128 lanes physically (2x HBM on every pass),
+# and XLA's conv runs the packed (3,2,3)-kernel formulation at 121-153
+# TF/s vs 53 TF/s unpacked (measured, stride-1/2 shapes) — the packed
+# kernel covers all 27 logical taps with 6/8 nonzero channel blocks
+# (1.33x logical FLOPs) on full 128-lane output tiles.
+#
+# Occupancy masks at packed scales are per-slot pairs ``(lo, hi)``, each
+# [X, T, Y] — a trailing slot axis of size 2 would lane-pad 64x.
+# ---------------------------------------------------------------------------
+
+
+def pack_z2(x: jnp.ndarray) -> jnp.ndarray:
+    """[X, Z, Y, C] (xzy) -> [X, Z//2, Y, 2C]; lanes [z even | z odd]."""
+    X, Z, Y, C = x.shape
+    return (
+        x.reshape(X, Z // 2, 2, Y, C)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(X, Z // 2, Y, 2 * C)
+    )
+
+
+def unpack_z2(x: jnp.ndarray) -> jnp.ndarray:
+    """[X, T, Y, 2C] -> [X, 2T, Y, C] (xzy)."""
+    X, T, Y, C2 = x.shape
+    return (
+        x.reshape(X, T, Y, 2, C2 // 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(X, 2 * T, Y, C2 // 2)
+    )
+
+
+def pack_mask_z2(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[X, Z, Y] -> (lo, hi) slot masks, each [X, Z//2, Y]."""
+    return mask[:, 0::2], mask[:, 1::2]
+
+
+def unpack_mask_z2(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """(lo, hi) [X, T, Y] -> [X, 2T, Y]."""
+    X, T, Y = lo.shape
+    return jnp.stack([lo, hi], axis=2).reshape(X, 2 * T, Y)
+
+
+def mask_mul_z2(x, lo, hi):
+    """Per-slot masking of a packed volume (two lane-half selects; fuses)."""
+    c = x.shape[-1] // 2
+    return jnp.concatenate(
+        [
+            jnp.where(lo[..., None], x[..., :c], 0),
+            jnp.where(hi[..., None], x[..., c:], 0),
+        ],
+        axis=-1,
+    )
+
+
+def blockdiag2_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """[Ci, Co] -> [2Ci, 2Co] block-diagonal (per-slot 1x1 conv)."""
+    ci, co = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([w, z], axis=1),
+            jnp.concatenate([z, w], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def packed2_conv_weight(weight: jnp.ndarray) -> jnp.ndarray:
+    """[27, Ci, Co] (z-fastest taps) -> [3, 2, 3, 2Ci, 2Co] packed kernel.
+
+    The packed conv consumes the +1-z-shifted packed input Q
+    (``Q[t] = (z=2t-1 | z=2t)``) with window {t, t+1}; output slot
+    oz at pair t is z=2t+oz, input (pt, pz) is z=2(t+pt)-1+pz, so the
+    logical tap is dz = 2*pt + pz - 1 - oz (6 of 8 blocks valid)."""
+    ci, co = weight.shape[1], weight.shape[2]
+    w3 = weight.reshape(3, 3, 3, ci, co)       # [dx, dy, dz+1, ci, co]
+    wp = jnp.zeros((3, 2, 3, 2 * ci, 2 * co), weight.dtype)
+    for pt in range(2):
+        for pz in range(2):
+            for oz in range(2):
+                dz = 2 * pt + pz - 1 - oz
+                if -1 <= dz <= 1:
+                    wp = wp.at[
+                        :, pt, :,
+                        pz * ci : (pz + 1) * ci,
+                        oz * co : (oz + 1) * co,
+                    ].set(w3[:, :, dz + 1].transpose(0, 1, 2, 3))
+    return wp
+
+
+def conv3_packed_z2(
+    x: jnp.ndarray,            # [X, T, Y, 2C] packed volume
+    weight: jnp.ndarray,       # [27, Cin, Cout] sparse-layout kernel
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+    mask: Optional[jnp.ndarray] = None,   # logical [X, 2T, Y] input mask
+) -> jnp.ndarray:
+    """'Same' 3^3 conv on a z-pair-packed xzy volume (see module notes).
+
+    ``mask`` (when given) zeroes invalid input cells *inside* the shifted-
+    input build — the submanifold-masking pass rides the Q materialisation
+    for free instead of costing its own HBM round trip."""
+    X, T, Y, c2 = x.shape
+    c = c2 // 2
+    cd = compute_dtype or x.dtype
+    x_hi, x_lo = x[..., c:], x[..., :c]
+    if mask is not None:
+        x_hi = jnp.where(mask[:, 1::2][..., None], x_hi, 0)
+        x_lo = jnp.where(mask[:, 0::2][..., None], x_lo, 0)
+    # Q[t] = (z=2t-1 | z=2t), t = 0..T: previous pair's hi slot, this
+    # pair's lo slot.  One entry longer than x so the window {t, t+1}
+    # covers z in [2t-1, 2t+2] including the top boundary's real value.
+    prev_hi = jnp.pad(x_hi, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    lo_ext = jnp.pad(x_lo, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    q = jnp.concatenate([prev_hi, lo_ext], axis=-1)
+    wp = packed2_conv_weight(weight).astype(cd)
+    # Two batched 2D convs over (X, Y) with the pair axis as batch — the
+    # measured-fastest formulation (XLA's 3D conv inserts relayout copies
+    # around every call; the 2D pair runs ~12 ms/conv in-context at the
+    # stride-1 shape vs ~22 ms for the 3D forms).
+    dn = ("XNYC", "XYIO", "XNYC")
+    qc = q.astype(cd)
+    out = jax.lax.conv_general_dilated(
+        qc[:, :-1], wp[:, 0], (1, 1), "SAME", dimension_numbers=dn
+    ) + jax.lax.conv_general_dilated(
+        qc[:, 1:], wp[:, 1], (1, 1), "SAME", dimension_numbers=dn
+    )
+    out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + jnp.concatenate([bias, bias]).astype(x.dtype)
+    return out
+
+
+def down2_packed_to_packed(
+    x: jnp.ndarray,            # [X, T, Y, 2Ci] packed (e.g. s1p)
+    weight: jnp.ndarray,       # [8, Ci, Co] (kernel_offsets(2) order)
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Stride-2 down conv, packed in -> packed out ([X/2, T/2, Y/2, 2Co]).
+
+    Output pair slot oz2 draws from input pair t1 = 2*t2 + oz2 (both of
+    whose slots are the z children); block-diagonal in (oz2, it)."""
+    X, T, Y, c2 = x.shape
+    ci = c2 // 2
+    co = weight.shape[-1]
+    cd = compute_dtype or x.dtype
+    xr = (
+        x.astype(cd)
+        .reshape(X // 2, 2, T // 2, 2, Y // 2, 2, c2)
+        .transpose(0, 2, 4, 1, 3, 5, 6)     # [X2, T2, Y2, ix, it, iy, 2Ci]
+        .reshape(-1, 8 * c2)                # K = ix*it*iy*(2Ci)
+    )
+    w3 = weight.reshape(2, 2, 2, ci, co)    # [ix, iy, dz, ci, co]
+    wk = jnp.zeros((2, 2, 2, 2 * ci, 2 * co), weight.dtype)
+    for it in range(2):                     # input pair offset == out slot
+        for pz in range(2):                 # input slot == z child
+            wk = wk.at[
+                :, it, :, pz * ci : (pz + 1) * ci, it * co : (it + 1) * co
+            ].set(w3[:, :, pz])
+    wk = wk.reshape(8 * c2, 2 * co).astype(cd)
+    out = jnp.dot(xr, wk, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + jnp.concatenate([bias, bias])
+    return out.reshape(X // 2, T // 2, Y // 2, 2 * co).astype(x.dtype)
+
+
+def down2_packed_to_plain(
+    x: jnp.ndarray,            # [X, T, Y, 2Ci] packed (e.g. s2p)
+    weight: jnp.ndarray,       # [8, Ci, Co]
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Stride-2 down conv, packed in -> plain xzy out ([X/2, T, Y/2, Co]).
+
+    Each output cell's two z children are exactly one packed input cell's
+    slots, so the packed t axis maps 1:1 to the output z axis."""
+    X, T, Y, c2 = x.shape
+    ci = c2 // 2
+    co = weight.shape[-1]
+    cd = compute_dtype or x.dtype
+    xr = (
+        x.astype(cd)
+        .reshape(X // 2, 2, T, Y // 2, 2, c2)
+        .transpose(0, 2, 3, 1, 4, 5)        # [X2, T, Y2, ix, iy, 2Ci]
+        .reshape(-1, 4 * c2)
+    )
+    w3 = weight.reshape(2, 2, 2, ci, co)
+    # rows (ix, iy, dz, ci) match xr's (ix, iy, [slot | ci]) channel layout
+    wk = w3.reshape(8 * ci, co)
+    out = jnp.dot(xr, wk.astype(cd), preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out.reshape(X // 2, T, Y // 2, co).astype(x.dtype)
+
+
+def deconv2_plain_to_packed(
+    x: jnp.ndarray,            # [X, Z, Y, Ci] plain xzy (e.g. s4)
+    weight: jnp.ndarray,       # [8, Ci, Co]
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Generative stride-2 deconv, plain in -> packed out
+    ([2X, Z, 2Y, 2Co]): a cell's two z children form one packed cell."""
+    X, Z, Y, ci = x.shape
+    co = weight.shape[-1]
+    cd = compute_dtype or x.dtype
+    w3 = weight.reshape(2, 2, 2, ci, co)
+    # [ci, (ix, iy, dz*co)]
+    wk = w3.transpose(3, 0, 1, 2, 4).reshape(ci, 2 * 2 * 2 * co).astype(cd)
+    out = jnp.dot(
+        x.astype(cd).reshape(-1, ci), wk, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, 8)
+    out = out.astype(x.dtype).reshape(X, Z, Y, 2, 2, 2 * co)
+    out = out.transpose(0, 3, 1, 2, 4, 5).reshape(2 * X, Z, 2 * Y, 2 * co)
+    return out
+
+
+def deconv2_packed_to_packed(
+    x: jnp.ndarray,            # [X, T, Y, 2Ci] packed (e.g. s2p)
+    weight: jnp.ndarray,       # [8, Ci, Co]
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Generative stride-2 deconv, packed in -> packed out
+    ([2X, 2T, 2Y, 2Co]): slot pz's children land in output pair 2t+pz."""
+    X, T, Y, c2 = x.shape
+    ci = c2 // 2
+    co = weight.shape[-1]
+    cd = compute_dtype or x.dtype
+    w3 = weight.reshape(2, 2, 2, ci, co)
+    wk = jnp.zeros((2 * ci, 2, 2, 2, 2 * co), weight.dtype)
+    for pz in range(2):  # input slot -> output pair offset (block diag)
+        for dz in range(2):
+            wk = wk.at[
+                pz * ci : (pz + 1) * ci, :, pz, :, dz * co : (dz + 1) * co
+            ].set(w3[:, :, dz].transpose(2, 0, 1, 3))
+    wk = wk.reshape(c2, 16 * co).astype(cd)
+    out = jnp.dot(
+        x.astype(cd).reshape(-1, c2), wk, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        out = out + jnp.tile(jnp.concatenate([bias, bias]), 8)
+    out = out.astype(x.dtype).reshape(X, T, Y, 2, 2, 2, 2 * co)
+    #                      (x, t, y, ix, pt, iy, 2co)
+    out = out.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+        2 * X, 2 * T, 2 * Y, 2 * co
+    )
+    return out
+
+
 def maxpool2_mask(mask: jnp.ndarray) -> jnp.ndarray:
     """[X, Y, Z] bool -> [X/2, Y/2, Z/2] any-child."""
     X, Y, Z = mask.shape
@@ -229,6 +487,54 @@ def cell_coords(box: Box, stride: int, axis_order: str = "xyz") -> jnp.ndarray:
         )
     rel = jnp.stack([gx, gy, gz], axis=-1).astype(jnp.int32) * stride
     return rel + box.minimum[None, None, None, :]
+
+
+def extract_sparse_z2(
+    feats_packed: jnp.ndarray,   # [X, T, Y, 2C] packed volume (xzy)
+    keep: jnp.ndarray,           # [X, 2T, Y] bool, logical cells
+    box: Box,
+    stride: int,
+    capacity: int,
+    extra: Optional[jnp.ndarray] = None,   # [X, 2T, Y, E] logical
+) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
+    """:func:`extract_sparse` for a z-pair-packed volume: gathers packed
+    rows and selects the slot half per kept cell — no unpack relayout."""
+    X, T, Y, c2 = feats_packed.shape
+    c = c2 // 2
+    Z = 2 * T
+    n = X * Z * Y
+    keep_f = keep.reshape(n)
+    new_pos = jnp.cumsum(keep_f.astype(jnp.int32)) - 1
+    total = new_pos[-1] + 1
+    dest = jnp.where(keep_f & (new_pos < capacity), new_pos, capacity)
+    src = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:capacity]
+    )
+    mask = jnp.arange(capacity) < jnp.minimum(total, capacity)
+
+    sy = src % Y
+    sz = (src // Y) % Z
+    sx = src // (Y * Z)
+    prow = (sx * T + sz // 2) * Y + sy
+    rows = feats_packed.reshape(-1, c2)[prow]            # [cap, 2C]
+    vals = jnp.where((sz % 2 == 1)[:, None], rows[:, c:], rows[:, :c])
+
+    coords3 = cell_coords(box, stride, "xzy").reshape(n, 3)
+    out_coords = jnp.concatenate(
+        [
+            jnp.zeros((capacity, 1), jnp.int32),
+            jnp.where(mask[:, None], coords3[src], 0),
+        ],
+        axis=-1,
+    )
+    out_feats = jnp.where(mask[:, None], vals, 0)
+    grid = SparseGrid(coords=out_coords, feats=out_feats, mask=mask, stride=stride)
+    out_extra = None
+    if extra is not None:
+        e = extra.shape[-1]
+        out_extra = jnp.where(mask[:, None], extra.reshape(n, e)[src], 0)
+    return grid, out_extra
 
 
 def cap_keep_gumbel(

@@ -220,3 +220,134 @@ def test_extract_sparse_xzy_coords():
     assert np.array_equal(
         np.asarray(cc_xzy), np.asarray(cc.transpose(0, 2, 1, 3))
     )
+
+
+# ---------------------------------------------------------------------------
+# z-pair packed ops (s1/s2 packed layout) vs plain xzy ops
+# ---------------------------------------------------------------------------
+
+
+def _rand_xzy(r, X, Z, Y, C):
+    return jnp.asarray(r.randn(X, Z, Y, C).astype(np.float32))
+
+
+def test_pack_unpack_roundtrip():
+    from pasco_tpu.ops.dense_ops import pack_z2, unpack_z2, pack_mask_z2, unpack_mask_z2
+
+    r = np.random.RandomState(0)
+    x = _rand_xzy(r, 4, 6, 5, 3)
+    np.testing.assert_array_equal(np.asarray(unpack_z2(pack_z2(x))), np.asarray(x))
+    m = jnp.asarray(r.rand(4, 6, 5) > 0.5)
+    lo, hi = pack_mask_z2(m)
+    np.testing.assert_array_equal(np.asarray(unpack_mask_z2(lo, hi)), np.asarray(m))
+
+
+def test_conv3_packed_z2_matches_plain():
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2, pack_z2, unpack_z2
+
+    r = np.random.RandomState(1)
+    x = _rand_xzy(r, 5, 8, 6, 3)
+    w = jnp.asarray(r.randn(27, 3, 4).astype(np.float32))
+    b = jnp.asarray(r.randn(4).astype(np.float32))
+    ref = conv3_dense(x, w, b, axis_order="xzy")
+    out = unpack_z2(conv3_packed_z2(pack_z2(x), w, b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_down2_packed_variants_match_plain():
+    from pasco_tpu.ops.dense_ops import (
+        down2_packed_to_packed, down2_packed_to_plain, pack_z2, unpack_z2)
+
+    r = np.random.RandomState(2)
+    x = _rand_xzy(r, 6, 8, 4, 3)
+    w = jnp.asarray(r.randn(8, 3, 5).astype(np.float32))
+    b = jnp.asarray(r.randn(5).astype(np.float32))
+    ref = down2_dense(x, w, b, axis_order="xzy")
+    out = unpack_z2(down2_packed_to_packed(pack_z2(x), w, b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    out2 = down2_packed_to_plain(pack_z2(x), w, b)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_deconv2_packed_variants_match_plain():
+    from pasco_tpu.ops.dense_ops import (
+        deconv2_packed_to_packed, deconv2_plain_to_packed, pack_z2, unpack_z2)
+
+    r = np.random.RandomState(3)
+    x = _rand_xzy(r, 3, 4, 5, 6)
+    w = jnp.asarray(r.randn(8, 6, 3).astype(np.float32))
+    b = jnp.asarray(r.randn(3).astype(np.float32))
+    ref = deconv2_dense(x, w, b, axis_order="xzy")
+    out = unpack_z2(deconv2_plain_to_packed(x, w, b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    out2 = unpack_z2(deconv2_packed_to_packed(pack_z2(x), w, b))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_mask_mul_and_blockdiag_z2():
+    from pasco_tpu.ops.dense_ops import (
+        blockdiag2_weight, mask_mul_z2, pack_mask_z2, pack_z2, unpack_z2)
+
+    r = np.random.RandomState(4)
+    x = _rand_xzy(r, 4, 6, 5, 3)
+    m = jnp.asarray(r.rand(4, 6, 5) > 0.4)
+    lo, hi = pack_mask_z2(m)
+    ref = jnp.where(m[..., None], x, 0)
+    out = unpack_z2(mask_mul_z2(pack_z2(x), lo, hi))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    w = jnp.asarray(r.randn(3, 7).astype(np.float32))
+    ref2 = jnp.dot(x.reshape(-1, 3), w).reshape(4, 6, 5, 7)
+    xp = pack_z2(x)
+    out2 = unpack_z2(
+        jnp.dot(xp.reshape(-1, 6), blockdiag2_weight(w)).reshape(4, 3, 5, 14)
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-5, atol=1e-5)
+
+
+def test_z_pack_model_equivalence():
+    """z_pack=True/False share one parameter tree and must agree
+    numerically (f32 compute to avoid bf16 reduction-order noise)."""
+    import dataclasses
+
+    from tests.test_model_forward import labelweights, make_input
+
+    base = tiny_config(n_infers=1)
+    cfg_off = base.replace(
+        model=dataclasses.replace(base.model, z_pack=False,
+                                  compute_dtype="float32")
+    )
+    cfg_on = base.replace(
+        model=dataclasses.replace(base.model, z_pack=True,
+                                  compute_dtype="float32")
+    )
+    inp = make_input(cfg_off, rng=3)
+    lw = labelweights(cfg_off)
+    net_off = DensePaSCoNet(cfg_off)
+    net_on = DensePaSCoNet(cfg_on)
+    variables = jax.jit(
+        lambda i: net_off.init({"params": jax.random.PRNGKey(0)}, i, lw,
+                               train=False)
+    )(inp)
+    out_off = jax.jit(lambda v, i: net_off.apply(v, i, lw, train=False))(
+        variables, inp
+    )
+    out_on = jax.jit(lambda v, i: net_on.apply(v, i, lw, train=False))(
+        variables, inp
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_on.sem_logits[1]), np.asarray(out_off.sem_logits[1]),
+        rtol=2e-2, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_on.predictor.query_logits),
+        np.asarray(out_off.predictor.query_logits),
+        rtol=2e-2, atol=1e-2,
+    )
+    for scale in (1, 2, 4):
+        a, b = out_on.sem_grids[scale], out_off.sem_grids[scale]
+        assert np.array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+        np.testing.assert_allclose(
+            np.asarray(a.feats), np.asarray(b.feats), rtol=2e-2, atol=1e-2
+        )
