@@ -65,6 +65,47 @@ def shift_matmul_conv3d(
     return acc.reshape(b, X, Y, Z, d).astype(x.dtype)
 
 
+def zfold_conv3d(
+    x: jnp.ndarray,            # [B, X, Y, Z, C]
+    w: jnp.ndarray,            # [kx, ky, kz, C, D]
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """'Same' anisotropic 3D conv as ONE native 2D conv with z folded into
+    channels.
+
+    At stride 8 the z extent is tiny (4 cells), so ``[B, X, Y, Z, C] ->
+    [B, X, Y, Z*C]`` turns the (kx, ky, kz) conv into a (kx, ky) conv with
+    block-banded ``[Z*C, Z*D]`` channel mixing (block (zi, zo) = the
+    ``dz = zi - zo + kz//2`` kernel slice, zero outside the band).  Exact
+    same math as :func:`shift_matmul_conv3d`, but a single 1024-channel
+    MXU-shaped conv instead of kx*ky*kz shifted slice+matmul taps — the
+    tap scan was ~1000 slices + small matmuls per scan (~150 ms, HBM-bound)
+    while this runs in a few ms, and 2D convs sidestep the pathological
+    minutes-long XLA compile of the native anisotropic 3D forms.
+    """
+    b, X, Y, Z, c = x.shape
+    kx, ky, kz, _, d = w.shape
+    cd = compute_dtype or x.dtype
+    xf = x.reshape(b, X, Y, Z * c).astype(cd)
+    w2 = jnp.zeros((kx, ky, Z * c, Z * d), w.dtype)
+    for zo in range(Z):
+        for zi in range(Z):
+            dz = zi - zo + kz // 2
+            if 0 <= dz < kz:
+                w2 = w2.at[:, :, zi * c : (zi + 1) * c, zo * d : (zo + 1) * d].set(
+                    w[:, :, dz]
+                )
+    out = jax.lax.conv_general_dilated(
+        xf,
+        w2.astype(cd),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NXYC", "XYIO", "NXYC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, X, Y, Z, d).astype(x.dtype)
+
+
 class _Conv3d(nn.Module):
     """Bias-free channels-last 3D conv with 'same' anisotropic padding."""
 
@@ -87,6 +128,11 @@ class _Conv3d(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             return out.reshape(*x.shape[:-1], self.features).astype(x.dtype)
+        # z-fold pays a (Z/kz)-ish FLOP overhead for the banded blocks; it
+        # wins whenever the folded channel count still tiles the MXU and z
+        # is small (the stride-8 box).  Fall back to tap scans otherwise.
+        if x.shape[3] <= 8:
+            return zfold_conv3d(x, w, self.compute_dtype)
         return shift_matmul_conv3d(x, w, self.compute_dtype)
 
 

@@ -94,6 +94,7 @@ class DenseBN(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     packed: bool = False   # x is z-pair packed [X, T, Y, 2C]; mask logical
+    mask_output: bool = True  # False: caller guarantees empties are never read
 
     @nn.compact
     def __call__(self, x, mask, train):
@@ -142,6 +143,8 @@ class DenseBN(nn.Module):
             mean = jnp.concatenate([mean, mean])
             b = jnp.concatenate([b, b])
         out = (x - mean) * inv + b
+        if not self.mask_output:
+            return out
         return _mm(out, mask, self.packed)
 
 
@@ -153,6 +156,9 @@ class DenseConv(nn.Module):
     use_bias: bool = True
     compute_dtype: Optional[jnp.dtype] = None
     packed: bool = False
+    mask_input: bool = False   # mask x inside the conv (packed: rides the
+    #                            shifted-input build — no extra HBM pass)
+    mask_output: bool = True   # False: caller guarantees empties unread
 
     @nn.compact
     def __call__(self, x, mask):
@@ -164,9 +170,9 @@ class DenseConv(nn.Module):
             if self.use_bias
             else None
         )
-        # Contract: inputs are already masked by their producer (every op
-        # in this module re-masks its output), so no input pass is needed;
-        # the output mask stops bias leakage at empty cells.
+        # Contract: without ``mask_input`` inputs are already masked by
+        # their producer; the output mask stops bias leakage at empty cells
+        # (skippable when every consumer ignores empties).
         cd = self.compute_dtype or x.dtype
         if self.kernel_size == 1:
             wk = w[0].astype(cd)
@@ -180,11 +186,18 @@ class DenseConv(nn.Module):
                 out = out + bb.astype(out.dtype)
             out = out.astype(x.dtype)
         elif self.packed:
-            out = conv3_packed_z2(x, w, b, compute_dtype=cd)
+            out = conv3_packed_z2(
+                x, w, b, compute_dtype=cd,
+                mask=mask if self.mask_input else None,
+            )
         else:
+            if self.mask_input:
+                x = _mask_mul(x, mask)
             out = conv3_dense(
                 x, w, b, compute_dtype=self.compute_dtype, axis_order=ORDER
             )
+        if not self.mask_output:
+            return out
         return _mm(out, mask, self.packed)
 
 
@@ -198,29 +211,39 @@ class DenseResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train):
+        # Packed stages defer ALL masking to the single block-output pass:
+        # 3^3 conv inputs are masked inside the packed conv's shifted-input
+        # build (free), BN stats mask internally, and pointwise ops can't
+        # mix cells — so interior _mm passes are redundant HBM traffic.
+        # The block also tolerates unmasked *input* in this mode.
+        lean = self.packed
         in_ch = x.shape[-1] // 2 if self.packed else x.shape[-1]
         if in_ch == self.out_channels:
             skip = x
         else:
             skip = DenseConv(
                 self.out_channels, 1, compute_dtype=self.compute_dtype,
-                packed=self.packed, name="downsample",
+                packed=self.packed, mask_output=not lean, name="downsample",
             )(x, mask)
-        f = DenseBN(self.axis_name, packed=self.packed, name="bn1")(
-            x, mask, train
-        )
+        f = DenseBN(
+            self.axis_name, packed=self.packed, mask_output=not lean,
+            name="bn1",
+        )(x, mask, train)
         f = nn.relu(f)
         f = DenseConv(
             self.out_channels, 3, compute_dtype=self.compute_dtype,
-            packed=self.packed, name="conv1",
+            packed=self.packed, mask_input=lean, mask_output=not lean,
+            name="conv1",
         )(f, mask)
-        f = DenseBN(self.axis_name, packed=self.packed, name="bn2")(
-            f, mask, train
-        )
+        f = DenseBN(
+            self.axis_name, packed=self.packed, mask_output=not lean,
+            name="bn2",
+        )(f, mask, train)
         f = nn.relu(f)
         f = DenseConv(
             self.out_channels, 3, compute_dtype=self.compute_dtype,
-            packed=self.packed, name="conv2",
+            packed=self.packed, mask_input=lean, mask_output=not lean,
+            name="conv2",
         )(f, mask)
         return _mm(nn.relu(skip + f), mask, self.packed)
 
@@ -246,13 +269,17 @@ class DenseDown(nn.Module):
         else:
             out = down2_dense(x, w, b, self.compute_dtype, axis_order=ORDER)
         new_mask = maxpool2_mask(mask)
-        f = DenseBN(self.axis_name, packed=self.out_packed, name="bn1")(
-            out, new_mask, train
-        )
+        # Interior masking deferred to the single output pass (BN stats
+        # mask internally; leaky-relu is pointwise).
+        f = DenseBN(
+            self.axis_name, packed=self.out_packed, mask_output=False,
+            name="bn1",
+        )(out, new_mask, train)
         f = nn.leaky_relu(f, 0.01)
-        f = DenseBN(self.axis_name, packed=self.out_packed, name="bn2")(
-            f, new_mask, train
-        )
+        f = DenseBN(
+            self.axis_name, packed=self.out_packed, mask_output=False,
+            name="bn2",
+        )(f, new_mask, train)
         f = nn.relu(f)
         return _mm(f, new_mask, self.out_packed), new_mask
 
@@ -331,22 +358,39 @@ class DenseDecoderStage(nn.Module):
         msk = upsample2_mask(parent_keep) & bbox_mask(
             box, self.scale, gmin, gmax, ORDER
         )
-        f = DenseBN(self.axis_name, packed=pk, name="up_bn")(x, msk, train)
-        x = _mm(nn.leaky_relu(f, 0.01), msk, pk)
+        # Packed ("lean") stages defer masking entirely to the residual
+        # blocks' output passes: between here and res0 only BN (stats mask
+        # internally) and pointwise ops touch x, and res0's convs mask
+        # their inputs internally — values at empty cells are never read.
+        lean = pk
+        f = DenseBN(
+            self.axis_name, packed=pk, mask_output=not lean, name="up_bn"
+        )(x, msk, train)
+        x = nn.leaky_relu(f, 0.01)
+        if not lean:
+            x = _mm(x, msk, pk)
 
         norm_c = (
             cell_coords(box, self.scale, ORDER).astype(jnp.float32) / self.scale
         ).astype(x.dtype)
         if pk:
-            ncp = _mm(pack_z2(norm_c), msk, True)
+            ncp = pack_z2(norm_c)
             xc = jnp.concatenate(
                 [x[..., :ch], ncp[..., :3], x[..., ch:], ncp[..., 3:]], axis=-1
             )
         else:
             xc = jnp.concatenate([x, _mm(norm_c, msk, False)], axis=-1)
-        xc = DenseBN(self.axis_name, packed=pk, name="resize_bn")(xc, msk, train)
-        x = DenseConv(ch, 1, compute_dtype=cd, packed=pk, name="resize")(xc, msk)
-        x = x + _mm(skip.astype(x.dtype), msk, pk)
+        xc = DenseBN(
+            self.axis_name, packed=pk, mask_output=not lean, name="resize_bn"
+        )(xc, msk, train)
+        x = DenseConv(
+            ch, 1, compute_dtype=cd, packed=pk, mask_output=not lean,
+            name="resize",
+        )(xc, msk)
+        # skip is masked by its producer; at msk-invalid cells the sum is
+        # garbage the lean res blocks never read.
+        sk = skip.astype(x.dtype)
+        x = x + (sk if lean else _mm(sk, msk, pk))
 
         for ri in range(self.n_res):
             x = Block(
@@ -411,17 +455,25 @@ class DenseVoxelFeatsRefiner(nn.Module):
 
     @nn.compact
     def __call__(self, x, keep, train):
+        # Packed: both convs mask their inputs inside the shifted build and
+        # the output feeds extraction only (a gather of kept cells), so no
+        # standalone mask passes are needed.
+        lean = self.packed
+        xin = x if lean else _mm(x, keep, self.packed)
         g = DenseConv(
             self.channels, 3, use_bias=False, compute_dtype=self.compute_dtype,
-            packed=self.packed, name="conv1",
-        )(_mm(x, keep, self.packed), keep)
-        f = DenseBN(self.axis_name, packed=self.packed, name="bn")(
-            g, keep, train
-        )
+            packed=self.packed, mask_input=lean, mask_output=not lean,
+            name="conv1",
+        )(xin, keep)
+        f = DenseBN(
+            self.axis_name, packed=self.packed, mask_output=not lean,
+            name="bn",
+        )(g, keep, train)
         g = nn.relu(f)  # DenseBN zeroes masked cells; relu keeps them zero
         return DenseConv(
             self.channels, 3, compute_dtype=self.compute_dtype,
-            packed=self.packed, name="conv2",
+            packed=self.packed, mask_input=lean, mask_output=not lean,
+            name="conv2",
         )(g, keep)
 
 
@@ -520,9 +572,12 @@ class DensePaSCoNet(nn.Module):
         # ---- encoder ----------------------------------------------------
         fm = m.f_maps
         n_res = 0 if m.heavy_decoder else 3
-        x = DenseConv(fm[0], 1, compute_dtype=cd, packed=zp, name="enc_in")(
-            x, mask1
-        )
+        # enc_in's output mask is skippable when the packed s1 res blocks
+        # (which mask internally) re-mask at their outputs.
+        x = DenseConv(
+            fm[0], 1, compute_dtype=cd, packed=zp,
+            mask_output=not (zp and n_res > 0), name="enc_in",
+        )(x, mask1)
         x, _ = DenseEncStage(
             fm[0], False, n_res, self.axis_name, cd, m.remat,
             in_packed=zp, out_packed=zp, name="enc_s1",

@@ -110,6 +110,20 @@ def test_shift_matmul_matches_native():
     assert np.allclose(np.asarray(native), np.asarray(shifted), atol=2e-4)
 
 
+def test_zfold_conv3d_matches_shift_matmul():
+    from pasco_tpu.models.bottleneck import zfold_conv3d
+
+    r = np.random.RandomState(7)
+    x = jnp.asarray(r.randn(1, 9, 8, 4, 5).astype(np.float32))
+    for kern in ((3, 3, 1), (5, 5, 3), (7, 7, 5)):
+        w = jnp.asarray(r.randn(*kern, 5, 6).astype(np.float32))
+        ref = shift_matmul_conv3d(x, w)
+        got = zfold_conv3d(x, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_extract_sparse_roundtrip():
     r = np.random.RandomState(4)
     ext = (8, 8, 4)
