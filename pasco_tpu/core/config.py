@@ -138,6 +138,11 @@ class ModelConfig:
     # convs — measured ~1.8x faster per stride-1 conv in context.
     # Requires the working-box z extent divisible by 4.
     z_pack: bool = True
+    # Packed-conv execution at inference: "auto" uses the block-sparse
+    # fused Pallas kernel (ops/pallas_conv.py:block_sparse_packed_conv)
+    # on TPU backends, "off" always uses the XLA formulation.  Training
+    # always uses XLA (the kernel has no VJP).
+    pallas_conv: str = "auto"
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
 
     @property

@@ -95,13 +95,16 @@ def zfold_conv3d(
                 w2 = w2.at[:, :, zi * c : (zi + 1) * c, zo * d : (zo + 1) * d].set(
                     w[:, :, dz]
                 )
+    # No preferred_element_type: the TPU conv accumulates in f32 internally
+    # regardless, and a f32-out conv with bf16 operands breaks the conv VJP
+    # (its transposed conv rejects mixed dtypes).  Output rounds once to
+    # ``cd`` — same precision as the tap-scan form's final astype.
     out = jax.lax.conv_general_dilated(
         xf,
         w2.astype(cd),
         (1, 1),
         "SAME",
         dimension_numbers=("NXYC", "XYIO", "NXYC"),
-        preferred_element_type=jnp.float32,
     )
     return out.reshape(b, X, Y, Z, d).astype(x.dtype)
 

@@ -159,6 +159,8 @@ class DenseConv(nn.Module):
     mask_input: bool = False   # mask x inside the conv (packed: rides the
     #                            shifted-input build — no extra HBM pass)
     mask_output: bool = True   # False: caller guarantees empties unread
+    use_pallas: bool = False   # packed 3^3 only: block-sparse fused kernel
+    #                            (inference path; applies mask_input itself)
 
     @nn.compact
     def __call__(self, x, mask):
@@ -185,6 +187,17 @@ class DenseConv(nn.Module):
                 bb = jnp.concatenate([b, b]) if self.packed else b
                 out = out + bb.astype(out.dtype)
             out = out.astype(x.dtype)
+        elif (
+            self.packed and self.use_pallas
+            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
+        ):
+            # Block-sparse fused kernel: skips empty (8, 16) xy tiles and
+            # fuses input masking + the shifted-input build + bias.
+            from pasco_tpu.ops.pallas_conv import block_sparse_packed_conv
+
+            out = block_sparse_packed_conv(
+                x, w, mask, bias=b, compute_dtype=cd
+            )
         elif self.packed:
             out = conv3_packed_z2(
                 x, w, b, compute_dtype=cd,
@@ -208,6 +221,7 @@ class DenseResBlock(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
     packed: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
@@ -233,7 +247,7 @@ class DenseResBlock(nn.Module):
         f = DenseConv(
             self.out_channels, 3, compute_dtype=self.compute_dtype,
             packed=self.packed, mask_input=lean, mask_output=not lean,
-            name="conv1",
+            use_pallas=self.pallas, name="conv1",
         )(f, mask)
         f = DenseBN(
             self.axis_name, packed=self.packed, mask_output=not lean,
@@ -243,7 +257,7 @@ class DenseResBlock(nn.Module):
         f = DenseConv(
             self.out_channels, 3, compute_dtype=self.compute_dtype,
             packed=self.packed, mask_input=lean, mask_output=not lean,
-            name="conv2",
+            use_pallas=self.pallas, name="conv2",
         )(f, mask)
         return _mm(nn.relu(skip + f), mask, self.packed)
 
@@ -297,6 +311,7 @@ class DenseEncStage(nn.Module):
     remat: bool = True
     in_packed: bool = False
     out_packed: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train):
@@ -314,7 +329,7 @@ class DenseEncStage(nn.Module):
         for i in range(self.n_res):
             x = Block(
                 self.out_channels, self.axis_name, self.compute_dtype,
-                packed=self.out_packed, name=f"res{i}",
+                packed=self.out_packed, pallas=self.pallas, name=f"res{i}",
             )(x, mask, train)
         return x, mask
 
@@ -334,6 +349,7 @@ class DenseDecoderStage(nn.Module):
     remat: bool = True
     in_packed: bool = False
     out_packed: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, parent_keep, skip, box, gmin, gmax, train):
@@ -394,7 +410,8 @@ class DenseDecoderStage(nn.Module):
 
         for ri in range(self.n_res):
             x = Block(
-                ch, self.axis_name, cd, packed=pk, name=f"res{ri}"
+                ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
+                name=f"res{ri}",
             )(x, msk, train)
 
         wh = self.param(
@@ -452,6 +469,7 @@ class DenseVoxelFeatsRefiner(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
     packed: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, keep, train):
@@ -463,7 +481,7 @@ class DenseVoxelFeatsRefiner(nn.Module):
         g = DenseConv(
             self.channels, 3, use_bias=False, compute_dtype=self.compute_dtype,
             packed=self.packed, mask_input=lean, mask_output=not lean,
-            name="conv1",
+            use_pallas=self.pallas, name="conv1",
         )(xin, keep)
         f = DenseBN(
             self.axis_name, packed=self.packed, mask_output=not lean,
@@ -473,7 +491,7 @@ class DenseVoxelFeatsRefiner(nn.Module):
         return DenseConv(
             self.channels, 3, compute_dtype=self.compute_dtype,
             packed=self.packed, mask_input=lean, mask_output=not lean,
-            name="conv2",
+            use_pallas=self.pallas, name="conv2",
         )(g, keep)
 
 
@@ -568,6 +586,13 @@ class DensePaSCoNet(nn.Module):
         packed_scales = {1, 2} if zp else set()
         if zp:
             x = pack_z2(x)
+        # Block-sparse fused Pallas conv for the packed stages: inference
+        # only (no VJP) and only on a real TPU backend (tests run the XLA
+        # formulation on CPU).
+        pallas = (
+            zp and not train and m.pallas_conv != "off"
+            and jax.default_backend() == "tpu"
+        )
 
         # ---- encoder ----------------------------------------------------
         fm = m.f_maps
@@ -580,7 +605,7 @@ class DensePaSCoNet(nn.Module):
         )(x, mask1)
         x, _ = DenseEncStage(
             fm[0], False, n_res, self.axis_name, cd, m.remat,
-            in_packed=zp, out_packed=zp, name="enc_s1",
+            in_packed=zp, out_packed=zp, pallas=pallas, name="enc_s1",
         )(x, mask1, train)
         enc = {1: (x, mask1)}
         masks = {1: mask1}
@@ -589,6 +614,7 @@ class DensePaSCoNet(nn.Module):
                 fm[si + 1], True, n_res, self.axis_name, cd, m.remat,
                 in_packed=(stride // 2) in packed_scales,
                 out_packed=stride in packed_scales,
+                pallas=pallas and stride in packed_scales,
                 name=f"enc_s{stride}",
             )(x, masks[stride // 2], train)
             enc[stride] = (x, msk)
@@ -623,6 +649,7 @@ class DensePaSCoNet(nn.Module):
                 m.remat,
                 in_packed=(scale * 2) in packed_scales,
                 out_packed=scale in packed_scales,
+                pallas=pallas and scale in packed_scales,
                 name=f"dec_s{scale}",
             )(
                 x, parent_keep, enc[scale][0], box,
@@ -705,6 +732,9 @@ class DensePaSCoNet(nn.Module):
                     axis_name=self.axis_name,
                     compute_dtype=cd,
                     packed=pscale,
+                    # the refiner is vmapped over subnets; the prefetch-grid
+                    # pallas kernel is only used when that axis is trivial
+                    pallas=pallas and pscale and S == 1,
                     name=f"voxel_feats_s{scale}",
                 )(xdense, keep_stack, train)                  # [S, X, Z, Y, C]
                 sub_grids, sub_sems = [], []

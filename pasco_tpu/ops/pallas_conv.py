@@ -162,6 +162,231 @@ def _block_conv_call(x, weight, ids, n_active, block_capacity):
     return out[..., :d]
 
 
+# ---------------------------------------------------------------------------
+# Block-sparse conv over z-pair-PACKED volumes ([X, T, Y, 2C], bf16)
+#
+# The packed layout puts z-pairs in lanes and Y in sublanes, so inside a
+# VMEM block the x and t axes are free dims: x-shifts and the z(-pair)
+# window taps are plain slices (no pltpu.roll, hence no f32 restriction —
+# this kernel runs bf16 on the MXU, unlike :func:`block_sparse_conv3`).
+# The remaining y-shifts are handled by DMAing THREE y-offset copies of
+# the tile from HBM (HBM-side offsets are free); each dy tap reads its
+# own copy.  Taps become 27 dense [xw*T*yt, 2Ci] @ [2Ci, 2Co] MXU dots
+# with a t-banded packed weight (6 of 12 (at, pz, oz) channel blocks are
+# live, so the dense-block formulation pays 2x the logical FLOPs — more
+# than bought back by skipping empty tiles and by fusing away the
+# shifted-input build the XLA path materialises per conv).
+# ---------------------------------------------------------------------------
+
+
+def packed_tap_weight(weight: jnp.ndarray) -> jnp.ndarray:
+    """[27, Ci, Co] (z-fastest taps) -> [3(at), 3(ax), 3(ay), 2Ci, 2Co].
+
+    Output slot oz of packed cell t draws logical tap ``dz = 2*at + pz -
+    oz`` from input slot pz of packed cell t+at; blocks outside
+    ``|dz| <= 1`` are zero (same convention as
+    :func:`pasco_tpu.ops.dense_ops.packed2_conv_weight`).
+    """
+    ci, co = weight.shape[1], weight.shape[2]
+    w3 = weight.reshape(3, 3, 3, ci, co)        # [dx, dy, dz+1, ci, co]
+    wp = jnp.zeros((3, 3, 3, 2 * ci, 2 * co), weight.dtype)
+    for at in (-1, 0, 1):
+        for pz in range(2):
+            for oz in range(2):
+                dz = 2 * at + pz - oz
+                if -1 <= dz <= 1:
+                    wp = wp.at[
+                        at + 1, :, :,
+                        pz * ci : (pz + 1) * ci,
+                        oz * co : (oz + 1) * co,
+                    ].set(w3[:, :, dz + 1])
+    return wp
+
+
+def _packed_kernel(
+    ids_ref,                # SMEM [n_tiles] flat tile id
+    n_active_ref,           # SMEM [1]
+    xp_ref,                 # HBM [X+2, T+2, Y+2yt, 2Ci] padded masked input
+    w_ref,                  # VMEM [3, 3, 3*2Ci, 2Co] (ay folded into rows)
+    bias_ref,               # VMEM [1, 2Co] (zeros when no bias)
+    out_ref,                # HBM [X, T, Y, 2Co]
+    in_bufs,                # VMEM [2, xw+2, T+2, 3*yt, 2Ci] double buffer
+    shift_buf,              # VMEM [xw+2, T+2, yt, 3*2Ci] y-shift concat
+    out_buf,                # VMEM [xw, T, yt, 2Co]
+    in_sems,                # DMA sems (2,)
+    out_sem,
+    *,
+    xw: int,
+    yt: int,
+    t_out: int,
+    by: int,
+):
+    g = pl.program_id(0)
+    n_act = n_active_ref[0]
+
+    def in_dma(slot, t_idx):
+        # One wide DMA covering the tile plus a full y-tile of halo per
+        # side: HBM slices must be sublane(Y)-tile aligned, so the +-1 y
+        # taps are taken as VMEM-local slices instead.
+        tid = ids_ref[t_idx]
+        return pltpu.make_async_copy(
+            xp_ref.at[
+                pl.ds((tid // by) * xw, xw + 2), :,
+                pl.ds((tid % by) * yt, 3 * yt),
+            ],
+            in_bufs.at[slot],
+            in_sems.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        @pl.when(n_act > 0)
+        def _():
+            in_dma(0, 0).start()
+
+    @pl.when(g < n_act)
+    def _():
+        slot = jax.lax.rem(g, 2)
+        in_dma(slot, g).wait()
+
+        # Prefetch the next tile while this one computes.
+        @pl.when(g + 1 < n_act)
+        def _():
+            in_dma(1 - slot, g + 1).start()
+
+        ci2 = in_bufs.shape[-1]
+        co2 = out_buf.shape[-1]
+        n = xw * t_out * yt
+        # Hoist the (sublane-unaligned) y shifts out of the tap loop and
+        # lane-concatenate them so each (at, ax) tap is ONE K=3*2Ci dot.
+        ib = in_bufs[slot]
+        for dy in range(3):
+            shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
+                :, :, yt - 1 + dy : 2 * yt - 1 + dy
+            ]
+        acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
+        for at in range(3):
+            for ax in range(3):
+                tap = shift_buf[ax : ax + xw, at : at + t_out]
+                acc = acc + jnp.dot(
+                    tap.reshape(n, 3 * ci2),
+                    w_ref[at, ax],
+                    preferred_element_type=jnp.float32,
+                )
+        out_buf[...] = acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype)
+        tid = ids_ref[g]
+        copy_out = pltpu.make_async_copy(
+            out_buf,
+            out_ref.at[pl.ds((tid // by) * xw, xw), :, pl.ds((tid % by) * yt, yt)],
+            out_sem,
+        )
+        copy_out.start()
+        copy_out.wait()
+
+
+def active_tiles_xy(
+    occ_xy: jnp.ndarray, xw: int, yt: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat ids of occupied (xw, yt) xy tiles, padded to the tile count."""
+    X, Y = occ_xy.shape
+    bx, by = X // xw, Y // yt
+    occ = occ_xy.reshape(bx, xw, by, yt).any(axis=(1, 3)).reshape(-1)
+    cap = bx * by
+    new_pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    dest = jnp.where(occ, new_pos, cap)
+    src = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    )[:cap]
+    return src.astype(jnp.int32), (new_pos[-1] + 1).reshape(1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("xw", "yt"))
+def _packed_conv_call(xp, wp, bias2, ids, n_active, xw, yt):
+    Xp, Tp, Yp, ci2 = xp.shape
+    X, T, Y = Xp - 2, Tp - 2, Yp - 2 * yt  # y is padded a full tile per side
+    co2 = wp.shape[-1]
+    by = Y // yt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((X // xw) * by,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
+            pl.BlockSpec(memory_space=pltpu.ANY),   # donated zero output
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw, T, yt, co2), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(ids_ref, n_ref, xp_ref, w_ref, b_ref, out_in_ref, out_ref,
+               in_bufs, shift_buf, out_buf, in_sems, out_sem):
+        _packed_kernel(ids_ref, n_ref, xp_ref, w_ref, b_ref, out_ref,
+                       in_bufs, shift_buf, out_buf, in_sems, out_sem,
+                       xw=xw, yt=yt, t_out=T, by=by)
+
+    out0 = jnp.zeros((X, T, Y, co2), xp.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((X, T, Y, co2), xp.dtype),
+        input_output_aliases={5: 0},  # 2 prefetch + xp + w + bias, then out0
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, n_active, xp, wp, bias2, out0)
+
+
+def block_sparse_packed_conv(
+    x: jnp.ndarray,            # [X, T, Y, 2C] z-pair-packed volume
+    weight: jnp.ndarray,       # [27, Ci, Co] sparse-layout kernel
+    mask: jnp.ndarray,         # [X, 2T, Y] logical occupancy
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+    xw: int = 8,
+    yt: int = 16,
+) -> jnp.ndarray:
+    """'Same' 3^3 submanifold conv on a packed volume over occupied
+    (xw, yt) xy tiles only; drop-in for
+    :func:`pasco_tpu.ops.dense_ops.conv3_packed_z2` with ``mask`` applied
+    to the input (fused into the padded staging copy).  Cells in inactive
+    tiles come back exactly zero.  Inference path (no custom VJP).
+    """
+    X, T, Y, c2 = x.shape
+    assert X % xw == 0 and Y % yt == 0, (x.shape, xw, yt)
+    cd = compute_dtype or x.dtype
+    c = c2 // 2
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+    xm = jnp.concatenate(
+        [
+            jnp.where(lo[..., None], x[..., :c], 0),
+            jnp.where(hi[..., None], x[..., c:], 0),
+        ],
+        axis=-1,
+    ).astype(cd)
+    # y pads a full tile per side so every tile's wide halo DMA slice stays
+    # sublane-tile aligned (Mosaic requires it for HBM slices).
+    xp = jnp.pad(xm, ((1, 1), (1, 1), (yt, yt), (0, 0)))
+    # [at, ax, ay, 2Ci, 2Co] -> [at, ax, ay*2Ci, 2Co]: rows match the
+    # kernel's lane-concatenated y-shift buffer.
+    co = weight.shape[-1]
+    wp = packed_tap_weight(weight).astype(cd).reshape(3, 3, 6 * c, 2 * co)
+    b2 = (
+        jnp.concatenate([bias, bias]).astype(jnp.float32)
+        if bias is not None
+        else jnp.zeros((2 * co,), jnp.float32)
+    ).reshape(1, 2 * co)
+    ids, n_active = active_tiles_xy(mask.any(axis=1), xw, yt)
+    out = _packed_conv_call(xp, wp, b2, ids, n_active, xw, yt)
+    return out.astype(x.dtype)
+
+
 def block_sparse_conv3(
     x: jnp.ndarray,          # [X, Y, Z, C] masked dense volume
     weight: jnp.ndarray,     # [27, Cin, Cout] (kernel_offsets(3) order)

@@ -62,3 +62,45 @@ def test_block_sparse_conv_skips_dead_columns():
     # Cells in never-visited columns stay exactly zero.
     assert np.all(out[8:, 8:] == 0)
     assert np.abs(out[:8, :8]).max() > 0
+
+
+def test_block_sparse_packed_conv_matches_xla():
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2, pack_z2, unpack_z2
+    from pasco_tpu.ops.pallas_conv import block_sparse_packed_conv
+
+    r = np.random.RandomState(2)
+    X, Z, Y, C, D = 16, 8, 32, 4, 6
+    x = jnp.asarray(r.randn(X, Z, Y, C).astype(np.float32))
+    mask_np = r.rand(X, Z, Y) > 0.6
+    mask_np[8:] = False           # leave inactive tiles
+    mask = jnp.asarray(mask_np)
+    w = jnp.asarray(r.randn(27, C, D).astype(np.float32))
+    b = jnp.asarray(r.randn(D).astype(np.float32))
+
+    xm = pack_z2(jnp.where(mask[..., None], x, 0))
+    ref = np.asarray(unpack_z2(conv3_packed_z2(xm, w, b, mask=mask)))
+    with _interpret():
+        got = np.asarray(
+            unpack_z2(block_sparse_packed_conv(pack_z2(x), w, mask, bias=b))
+        )
+    tile_act = mask_np.any(1).reshape(X // 8, 8, Y // 16, 16).any((1, 3))
+    act = np.repeat(np.repeat(tile_act, 8, 0), 16, 1)
+    sel = np.broadcast_to(act[:, None, :], (X, Z, Y))
+    np.testing.assert_allclose(got[sel], ref[sel], rtol=1e-4, atol=1e-4)
+    assert np.all(got[~sel] == 0)
+
+
+def test_packed_tap_weight_band_structure():
+    from pasco_tpu.ops.pallas_conv import packed_tap_weight
+
+    r = np.random.RandomState(3)
+    ci, co = 3, 5
+    w = jnp.asarray(r.randn(27, ci, co).astype(np.float32))
+    wp = np.asarray(packed_tap_weight(w))
+    assert wp.shape == (3, 3, 3, 2 * ci, 2 * co)
+    # at = -1: only the (pz=1 -> oz=0) block may be nonzero
+    assert np.all(wp[0, :, :, :ci, :] == 0)
+    assert np.all(wp[0, :, :, ci:, co:] == 0)
+    # at = +1: only the (pz=0 -> oz=1) block may be nonzero
+    assert np.all(wp[2, :, :, ci:, :] == 0)
+    assert np.all(wp[2, :, :, :ci, :co] == 0)
