@@ -222,6 +222,10 @@ class DenseResBlock(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     packed: bool = False
     pallas: bool = False
+    mask_output: bool = True   # False (lean only): every consumer of this
+    #                            block masks internally — skip the output
+    #                            pass too (stage-interior blocks, and all
+    #                            decoder blocks: heads/extraction re-mask)
 
     @nn.compact
     def __call__(self, x, mask, train):
@@ -259,7 +263,10 @@ class DenseResBlock(nn.Module):
             packed=self.packed, mask_input=lean, mask_output=not lean,
             use_pallas=self.pallas, name="conv2",
         )(f, mask)
-        return _mm(nn.relu(skip + f), mask, self.packed)
+        out = nn.relu(skip + f)
+        if lean and not self.mask_output:
+            return out
+        return _mm(out, mask, self.packed)
 
 
 class DenseDown(nn.Module):
@@ -327,9 +334,13 @@ class DenseEncStage(nn.Module):
                 name="down",
             )(x, mask, train)
         for i in range(self.n_res):
+            # Only the stage-final block masks its output: the stage feeds
+            # an XLA down conv (a strided matmul that reads every cell);
+            # interior consumers all mask internally.
             x = Block(
                 self.out_channels, self.axis_name, self.compute_dtype,
-                packed=self.out_packed, pallas=self.pallas, name=f"res{i}",
+                packed=self.out_packed, pallas=self.pallas,
+                mask_output=(i == self.n_res - 1), name=f"res{i}",
             )(x, mask, train)
         return x, mask
 
@@ -409,9 +420,12 @@ class DenseDecoderStage(nn.Module):
         x = x + (sk if lean else _mm(sk, msk, pk))
 
         for ri in range(self.n_res):
+            # Decoder blocks never need the output mask in lean mode: the
+            # heads/extraction re-mask and the next stage's deconv input is
+            # masked explicitly.
             x = Block(
                 ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
-                name=f"res{ri}",
+                mask_output=False, name=f"res{ri}",
             )(x, msk, train)
 
         wh = self.param(
@@ -583,7 +597,13 @@ class DensePaSCoNet(nn.Module):
         # fills the 128-lane tile and runs convs as batched 2D pairs —
         # measured ~1.8x per stride-1 conv in context.  Masks stay logical.
         zp = bool(m.z_pack) and ez % 4 == 0
-        packed_scales = {1, 2} if zp else set()
+        # Pack every scale whose z extent splits into pairs (s4's native 3D
+        # conv measured ~31 TF/s vs 120+ for the packed pair formulation).
+        packed_scales = (
+            {s for s in (1, 2, 4) if ez % (2 * s) == 0 and (ez // s) % 2 == 0}
+            if zp
+            else set()
+        )
         if zp:
             x = pack_z2(x)
         # Block-sparse fused Pallas conv for the packed stages: inference

@@ -365,3 +365,19 @@ def test_z_pack_model_equivalence():
         np.testing.assert_allclose(
             np.asarray(a.feats), np.asarray(b.feats), rtol=2e-2, atol=1e-2
         )
+
+
+def test_compact_src_matches_nonzero():
+    from pasco_tpu.ops.dense_ops import compact_src
+
+    r = np.random.RandomState(11)
+    for n, cap, p in ((257, 64, 0.3), (1024, 2000, 0.9), (96, 8, 0.5), (33, 4, 0.0)):
+        keep = r.rand(n) < p
+        src, valid, total = jax.jit(compact_src, static_argnums=1)(
+            jnp.asarray(keep), cap
+        )
+        exp = np.nonzero(keep)[0]
+        k = min(cap, len(exp))
+        assert int(total) == len(exp)
+        assert int(np.asarray(valid).sum()) == k
+        assert np.array_equal(np.asarray(src)[:k], exp[:k])
