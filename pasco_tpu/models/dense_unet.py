@@ -97,7 +97,7 @@ class DenseBN(nn.Module):
     mask_output: bool = True  # False: caller guarantees empties are never read
 
     @nn.compact
-    def __call__(self, x, mask, train):
+    def __call__(self, x, mask, train, affine_only=False):
         c = x.shape[-1] // 2 if self.packed else x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
@@ -107,6 +107,18 @@ class DenseBN(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if affine_only:
+            # Inference-mode normalisation as per-channel (a, b) for the
+            # fused kernel prologue: y = a*x + b == (x - mean)*inv + bias.
+            assert not train
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            a = inv
+            b = bias - ra_mean.value * inv
+            if self.packed:
+                a = jnp.concatenate([a, a])
+                b = jnp.concatenate([b, b])
+            return a, b
 
         axes = tuple(range(x.ndim - 1))
         if train:
@@ -163,7 +175,7 @@ class DenseConv(nn.Module):
     #                            (inference path; applies mask_input itself)
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, params_only=False):
         k = self.kernel_size**3
         in_ch = x.shape[-1] // 2 if self.packed else x.shape[-1]
         w = self.param("kernel", _conv_init, (k, in_ch, self.out_channels))
@@ -172,6 +184,8 @@ class DenseConv(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:   # fused-chain path drives the kernel itself
+            return w, b
         # Contract: without ``mask_input`` inputs are already masked by
         # their producer; the output mask stops bias leakage at empty cells
         # (skippable when every consumer ignores empties).
@@ -228,7 +242,9 @@ class DenseResBlock(nn.Module):
     #                            decoder blocks: heads/extraction re-mask)
 
     @nn.compact
-    def __call__(self, x, mask, train):
+    def __call__(self, x, mask, train, fused_ctx=None):
+        if fused_ctx is not None:
+            return self._fused(x, mask, train, fused_ctx)
         # Packed stages defer ALL masking to the single block-output pass:
         # 3^3 conv inputs are masked inside the packed conv's shifted-input
         # build (free), BN stats mask internally, and pointwise ops can't
@@ -267,6 +283,37 @@ class DenseResBlock(nn.Module):
         if lean and not self.mask_output:
             return out
         return _mm(out, mask, self.packed)
+
+    def _fused(self, xpad, mask, train, fused_ctx):
+        """Inference fused-chain: both convs run as single Pallas kernels
+        with the BN affine + relu + mask as prologue and the residual
+        add + relu as conv2's epilogue; ``xpad`` and the return value are
+        zero-padded stage buffers (see ops/pallas_conv.py), so the chain
+        has no interleaving XLA passes at all."""
+        from pasco_tpu.ops.pallas_conv import fused_packed_conv
+
+        m8, ids, n_act = fused_ctx
+        cd = self.compute_dtype
+        a1, c1 = DenseBN(self.axis_name, packed=True, name="bn1")(
+            xpad, mask, train, affine_only=True
+        )
+        w1, b1 = DenseConv(
+            self.out_channels, 3, compute_dtype=cd, packed=True, name="conv1"
+        )(xpad, mask, params_only=True)
+        f = fused_packed_conv(
+            xpad, w1, m8, ids, n_act, affine=(a1, c1), relu=True, bias=b1,
+            out_padded=True, compute_dtype=cd,
+        )
+        a2, c2 = DenseBN(self.axis_name, packed=True, name="bn2")(
+            f, mask, train, affine_only=True
+        )
+        w2, b2 = DenseConv(
+            self.out_channels, 3, compute_dtype=cd, packed=True, name="conv2"
+        )(f, mask, params_only=True)
+        return fused_packed_conv(
+            f, w2, m8, ids, n_act, affine=(a2, c2), relu=True, bias=b2,
+            skip=xpad, out_padded=True, compute_dtype=cd,
+        )
 
 
 class DenseDown(nn.Module):
@@ -333,6 +380,28 @@ class DenseEncStage(nn.Module):
                 in_packed=self.in_packed, out_packed=self.out_packed,
                 name="down",
             )(x, mask, train)
+        fused = (
+            self.pallas and self.out_packed and not train and self.n_res > 0
+            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
+            and x.shape[-1] // 2 == self.out_channels
+        )
+        if fused:
+            from pasco_tpu.ops.pallas_conv import (
+                active_tiles_xy, pad_stage, stage_mask8, unpad_stage)
+
+            ctx = (
+                stage_mask8(mask, x.shape[-1]),
+                *active_tiles_xy(jnp.any(mask, axis=1), 8, 16),
+            )
+            xpad = pad_stage(x)
+            for i in range(self.n_res):
+                xpad = Block(
+                    self.out_channels, self.axis_name, self.compute_dtype,
+                    packed=True, pallas=True, name=f"res{i}",
+                )(xpad, mask, train, ctx)
+            # stage-final mask: the next stage's XLA down conv reads every
+            # cell, so empties must be exact zeros.
+            return _mm(unpad_stage(xpad), mask, True), mask
         for i in range(self.n_res):
             # Only the stage-final block masks its output: the stage feeds
             # an XLA down conv (a strided matmul that reads every cell);
@@ -419,14 +488,36 @@ class DenseDecoderStage(nn.Module):
         sk = skip.astype(x.dtype)
         x = x + (sk if lean else _mm(sk, msk, pk))
 
-        for ri in range(self.n_res):
-            # Decoder blocks never need the output mask in lean mode: the
-            # heads/extraction re-mask and the next stage's deconv input is
-            # masked explicitly.
-            x = Block(
-                ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
-                mask_output=False, name=f"res{ri}",
-            )(x, msk, train)
+        fused = (
+            self.pallas and pk and not train and self.n_res > 0
+            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
+            and x.shape[-1] // 2 == ch
+        )
+        if fused:
+            from pasco_tpu.ops.pallas_conv import (
+                active_tiles_xy, pad_stage, stage_mask8, unpad_stage)
+
+            ctx = (
+                stage_mask8(msk, x.shape[-1]),
+                *active_tiles_xy(jnp.any(msk, axis=1), 8, 16),
+            )
+            xpad = pad_stage(x)
+            for ri in range(self.n_res):
+                xpad = Block(
+                    ch, self.axis_name, cd, packed=True, pallas=True,
+                    name=f"res{ri}",
+                )(xpad, msk, train, ctx)
+            # Decoder output needs no mask (heads/extraction re-mask).
+            x = unpad_stage(xpad)
+        else:
+            for ri in range(self.n_res):
+                # Decoder blocks never need the output mask in lean mode:
+                # the heads/extraction re-mask and the next stage's deconv
+                # input is masked explicitly.
+                x = Block(
+                    ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
+                    mask_output=False, name=f"res{ri}",
+                )(x, msk, train)
 
         wh = self.param(
             "head_kernel",
@@ -440,19 +531,28 @@ class DenseDecoderStage(nn.Module):
         # copy of the full-scale feature volume just for the head einsum.
         whx = wh.astype(x.dtype)
         if pk:
-            sem_lo = jnp.einsum(
-                "xtyc,sck->xtysk", x[..., :ch], whx,
-                preferred_element_type=jnp.float32,
-            )
-            sem_hi = jnp.einsum(
-                "xtyc,sck->xtysk", x[..., ch:], whx,
-                preferred_element_type=jnp.float32,
-            )
+            # einsum accumulates f32 but rounds to bf16 (with the bias)
+            # BEFORE the stack/reshape relayout: the [X, Z, Y, S, K] f32
+            # intermediate was ~320 MB of pure relayout traffic.
+            bhx = bh[None, None, None].astype(jnp.float32)
+            sem_lo = (
+                jnp.einsum(
+                    "xtyc,sck->xtysk", x[..., :ch], whx,
+                    preferred_element_type=jnp.float32,
+                )
+                + bhx
+            ).astype(jnp.bfloat16)
+            sem_hi = (
+                jnp.einsum(
+                    "xtyc,sck->xtysk", x[..., ch:], whx,
+                    preferred_element_type=jnp.float32,
+                )
+                + bhx
+            ).astype(jnp.bfloat16)
             X_, T_, Y_ = sem_lo.shape[0], sem_lo.shape[1], sem_lo.shape[2]
             sem = jnp.stack([sem_lo, sem_hi], axis=2).reshape(
                 X_, 2 * T_, Y_, self.n_infers, self.n_classes
             )
-            sem = sem + bh[None, None, None]
         else:
             sem = (
                 jnp.einsum(

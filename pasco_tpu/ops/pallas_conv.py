@@ -343,6 +343,275 @@ def _packed_conv_call(xp, wp, bias2, ids, n_active, xw, yt):
     )(ids, n_active, xp, wp, bias2, out0)
 
 
+# ---------------------------------------------------------------------------
+# V2: fused-chain packed conv
+#
+# Residual-block chains at inference reduce to back-to-back kernel calls
+# with ZERO interleaving XLA passes:
+#   - the BN affine (running stats), relu, and occupancy mask run as the
+#     kernel *prologue* on the DMA'd tile (mask = a lane-expanded int8
+#     array built once per stage — lane-padding economics rule out any
+#     thinner encoding);
+#   - bias, the residual skip-add, and the block-end relu run as the
+#     *epilogue* (the skip tile DMAs from the block's padded input);
+#   - outputs write into the interior of a donated zero-padded buffer, so
+#     the next conv consumes them directly (no pad/mask staging pass).
+# Active tiles are computed once per stage and shared by every conv.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    ids_ref, n_active_ref,
+    xp_ref,                 # HBM [X+2, T+2, Y+2yt, 2Ci] padded input
+    m_ref,                  # HBM [X+2, T+2, Y+2yt, 2Ci] int8 mask
+    w_ref,                  # VMEM [3, 3, 3*2Ci, 2Co]
+    aff_ref,                # VMEM [2, 2Ci] f32 (a, c) rows
+    bias_ref,               # VMEM [1, 2Co] f32
+    skip_ref,               # HBM padded [X+2, T+2, Y+2yt, 2Co] (or dummy)
+    out_ref,                # HBM padded or interior output
+    in_bufs,                # VMEM [2, xw+2, T+2, 3*yt, 2Ci]
+    m_bufs,                 # VMEM [2, xw+2, T+2, 3*yt, 2Ci] int8
+    shift_buf,              # VMEM [xw+2, T+2, yt, 3*2Ci]
+    skip_buf,               # VMEM [xw, T, yt, 2Co]
+    out_buf,                # VMEM [xw, T, yt, 2Co]
+    in_sems, m_sems, skip_sem, out_sem,
+    *,
+    xw: int, yt: int, t_out: int, by: int,
+    apply_affine: bool, apply_relu: bool, has_skip: bool, out_padded: bool,
+):
+    g = pl.program_id(0)
+    n_act = n_active_ref[0]
+
+    def wide_dma(src_ref, bufs, sems, slot, t_idx):
+        tid = ids_ref[t_idx]
+        return pltpu.make_async_copy(
+            src_ref.at[
+                pl.ds((tid // by) * xw, xw + 2), :,
+                pl.ds((tid % by) * yt, 3 * yt),
+            ],
+            bufs.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        @pl.when(n_act > 0)
+        def _():
+            wide_dma(xp_ref, in_bufs, in_sems, 0, 0).start()
+            wide_dma(m_ref, m_bufs, m_sems, 0, 0).start()
+
+    @pl.when(g < n_act)
+    def _():
+        slot = jax.lax.rem(g, 2)
+        tid = ids_ref[g]
+        x0 = (tid // by) * xw
+        y0 = (tid % by) * yt
+        if has_skip:
+            skip_dma = pltpu.make_async_copy(
+                skip_ref.at[
+                    pl.ds(x0 + 1, xw), pl.ds(1, t_out), pl.ds(yt + y0, yt)
+                ],
+                skip_buf,
+                skip_sem,
+            )
+            skip_dma.start()
+        wide_dma(xp_ref, in_bufs, in_sems, slot, g).wait()
+        wide_dma(m_ref, m_bufs, m_sems, slot, g).wait()
+
+        @pl.when(g + 1 < n_act)
+        def _():
+            wide_dma(xp_ref, in_bufs, in_sems, 1 - slot, g + 1).start()
+            wide_dma(m_ref, m_bufs, m_sems, 1 - slot, g + 1).start()
+
+        ci2 = in_bufs.shape[-1]
+        co2 = out_buf.shape[-1]
+        n = xw * t_out * yt
+
+        # Prologue: y = [relu](a*x + c) masked, on the wide tile in place.
+        # Select (not multiply): the chain's HBM buffers are uninitialised
+        # outside active tiles, and NaN*0 would be NaN.
+        x = in_bufs[slot]
+        if apply_affine:
+            a = aff_ref[0].astype(x.dtype)
+            c = aff_ref[1].astype(x.dtype)
+            y = x * a + c
+        else:
+            y = x
+        if apply_relu:
+            y = jnp.maximum(y, 0)
+        in_bufs[slot] = jnp.where(m_bufs[slot] != 0, y, 0)
+
+        ib = in_bufs[slot]
+        for dy in range(3):
+            shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
+                :, :, yt - 1 + dy : 2 * yt - 1 + dy
+            ]
+        acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
+        for at in range(3):
+            for ax in range(3):
+                tap = shift_buf[ax : ax + xw, at : at + t_out]
+                acc = acc + jnp.dot(
+                    tap.reshape(n, 3 * ci2),
+                    w_ref[at, ax],
+                    preferred_element_type=jnp.float32,
+                )
+        if has_skip:
+            skip_dma.wait()
+            acc = acc + skip_buf[...].reshape(n, co2).astype(jnp.float32)
+            acc = jnp.maximum(acc, 0)
+        out_buf[...] = acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype)
+        if out_padded:
+            dst = out_ref.at[
+                pl.ds(x0 + 1, xw), pl.ds(1, t_out), pl.ds(yt + y0, yt)
+            ]
+        else:
+            dst = out_ref.at[pl.ds(x0, xw), :, pl.ds(y0, yt)]
+        copy_out = pltpu.make_async_copy(out_buf, dst, out_sem)
+        copy_out.start()
+        copy_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "xw", "yt", "apply_affine", "apply_relu", "has_skip", "out_padded"
+    ),
+)
+def _fused_conv_call(
+    xp, m8, wp, aff, bias2, skip, ids, n_active,
+    xw, yt, apply_affine, apply_relu, has_skip, out_padded,
+):
+    Xp, Tp, Yp, ci2 = xp.shape
+    X, T, Y = Xp - 2, Tp - 2, Yp - 2 * yt
+    co2 = wp.shape[-1]
+    by = Y // yt
+
+    out_shape = (
+        (Xp, Tp, Yp, co2) if out_padded else (X, T, Y, co2)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((X // xw) * by,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xp
+            pl.BlockSpec(memory_space=pltpu.ANY),   # mask int8
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # affine rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
+            pl.BlockSpec(memory_space=pltpu.ANY),   # skip (padded)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
+            pltpu.VMEM((2, xw + 2, Tp, 3 * yt, ci2), jnp.int8),
+            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw, T, yt, co2), xp.dtype),
+            pltpu.VMEM((xw, T, yt, co2), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(ids_ref, n_ref, xp_ref, m_ref, w_ref, aff_ref, b_ref,
+               skip_ref, out_ref, in_bufs, m_bufs, shift_buf,
+               skip_buf, out_buf, in_sems, m_sems, skip_sem, out_sem):
+        _fused_kernel(
+            ids_ref, n_ref, xp_ref, m_ref, w_ref, aff_ref, b_ref, skip_ref,
+            out_ref, in_bufs, m_bufs, shift_buf, skip_buf, out_buf,
+            in_sems, m_sems, skip_sem, out_sem,
+            xw=xw, yt=yt, t_out=T, by=by,
+            apply_affine=apply_affine, apply_relu=apply_relu,
+            has_skip=has_skip, out_padded=out_padded,
+        )
+
+    # The output buffer is deliberately UNINITIALISED outside active tiles
+    # (the donated-zeros form cost a full-buffer memset per conv); every
+    # chain consumer selects by mask or gathers kept cells only.
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, xp.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, n_active, xp, m8, wp, aff, bias2, skip)
+
+
+def stage_mask8(
+    mask: jnp.ndarray,        # [X, 2T, Y] logical occupancy
+    channels2: int,           # 2C lane count of the stage
+    yt: int = 16,
+) -> jnp.ndarray:
+    """Lane-expanded padded int8 mask [X+2, T+2, Y+2yt, 2C] for the fused
+    kernel's prologue; built once per stage and shared by all its convs."""
+    X, Z, Y = mask.shape
+    c = channels2 // 2
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+    m = jnp.concatenate(
+        [
+            jnp.broadcast_to(lo[..., None], (X, Z // 2, Y, c)),
+            jnp.broadcast_to(hi[..., None], (X, Z // 2, Y, c)),
+        ],
+        axis=-1,
+    ).astype(jnp.int8)
+    return jnp.pad(m, ((1, 1), (1, 1), (yt, yt), (0, 0)))
+
+
+def pad_stage(x: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
+    """[X, T, Y, 2C] -> padded [X+2, T+2, Y+2yt, 2C] (fused-kernel input)."""
+    return jnp.pad(x, ((1, 1), (1, 1), (yt, yt), (0, 0)))
+
+
+def unpad_stage(xp: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
+    """Interior of a padded stage buffer."""
+    return xp[1:-1, 1:-1, yt:-yt]
+
+
+def fused_packed_conv(
+    xp: jnp.ndarray,           # [X+2, T+2, Y+2yt, 2Ci] padded bf16
+    weight: jnp.ndarray,       # [27, Ci, Co]
+    mask8: jnp.ndarray,        # from stage_mask8 (matching 2Ci)
+    ids: jnp.ndarray,
+    n_active: jnp.ndarray,
+    affine: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (a, c) [2Ci]
+    relu: bool = False,
+    bias: Optional[jnp.ndarray] = None,       # [Co]
+    skip: Optional[jnp.ndarray] = None,       # padded [.., 2Co]
+    out_padded: bool = True,
+    compute_dtype=None,
+    xw: int = 8,
+    yt: int = 16,
+) -> jnp.ndarray:
+    """One fused conv of a residual chain: prologue
+    ``y = [relu](a*x + c) * mask`` -> packed 3^3 conv -> epilogue
+    ``[relu](acc + bias [+ skip])``; optionally writes a padded output the
+    next fused conv consumes directly."""
+    cd = compute_dtype or xp.dtype
+    ci = weight.shape[1]
+    co = weight.shape[-1]
+    wp = packed_tap_weight(weight).astype(cd).reshape(3, 3, 6 * ci, 2 * co)
+    if affine is not None:
+        aff = jnp.stack(
+            [affine[0].astype(jnp.float32), affine[1].astype(jnp.float32)]
+        )
+    else:
+        aff = jnp.zeros((2, 2 * ci), jnp.float32)
+    b2 = (
+        jnp.concatenate([bias, bias]).astype(jnp.float32)
+        if bias is not None
+        else jnp.zeros((2 * co,), jnp.float32)
+    ).reshape(1, 2 * co)
+    if skip is None:
+        # tiny dummy: with has_skip=False the kernel never touches it
+        skip_arr = jnp.zeros((1, 1, 1, 2 * co), xp.dtype)
+    else:
+        skip_arr = skip.astype(xp.dtype)
+    return _fused_conv_call(
+        xp.astype(cd), mask8, wp, aff, b2, skip_arr, ids, n_active,
+        xw, yt, affine is not None, relu, skip is not None, out_padded,
+    )
+
+
 def block_sparse_packed_conv(
     x: jnp.ndarray,            # [X, T, Y, 2C] z-pair-packed volume
     weight: jnp.ndarray,       # [27, Ci, Co] sparse-layout kernel

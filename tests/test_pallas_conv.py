@@ -104,3 +104,64 @@ def test_packed_tap_weight_band_structure():
     # at = +1: only the (pz=0 -> oz=1) block may be nonzero
     assert np.all(wp[2, :, :, ci:, :] == 0)
     assert np.all(wp[2, :, :, :ci, :co] == 0)
+
+
+def test_fused_packed_conv_chain_matches_xla():
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2
+    from pasco_tpu.ops.pallas_conv import (
+        active_tiles_xy, fused_packed_conv, pad_stage, stage_mask8)
+
+    r = np.random.RandomState(5)
+    X, Z, Y, C = 16, 8, 32, 4
+    T = Z // 2
+    x = jnp.asarray(r.randn(X, T, Y, 2 * C).astype(np.float32))
+    mask_np = r.rand(X, Z, Y) > 0.5
+    mask_np[8:] = False
+    mask = jnp.asarray(mask_np)
+    w1 = jnp.asarray(r.randn(27, C, C).astype(np.float32))
+    w2 = jnp.asarray(r.randn(27, C, C).astype(np.float32))
+    b1, b2 = (jnp.asarray(r.randn(C).astype(np.float32)) for _ in range(2))
+    a1, a2 = (
+        jnp.asarray((np.abs(r.randn(2 * C)) + 0.5).astype(np.float32))
+        for _ in range(2)
+    )
+    c1, c2 = (jnp.asarray(r.randn(2 * C).astype(np.float32)) for _ in range(2))
+
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+
+    def mask_mul(v):
+        return jnp.concatenate(
+            [
+                jnp.where(lo[..., None], v[..., :C], 0),
+                jnp.where(hi[..., None], v[..., C:], 0),
+            ],
+            axis=-1,
+        )
+
+    # XLA reference of a lean residual block (pre-act, fused contract).
+    y1 = mask_mul(jnp.maximum(x * a1 + c1, 0))
+    f1 = conv3_packed_z2(y1, w1, b1)
+    y2 = mask_mul(jnp.maximum(f1 * a2 + c2, 0))
+    ref = jnp.maximum(x + conv3_packed_z2(y2, w2, b2), 0)
+
+    with _interpret():
+        m8 = stage_mask8(mask, 2 * C)
+        ids, n = active_tiles_xy(mask.any(axis=1), 8, 16)
+        xp = pad_stage(x)
+        o1 = fused_packed_conv(
+            xp, w1, m8, ids, n, affine=(a1, c1), relu=True, bias=b1,
+            out_padded=True,
+        )
+        o2 = fused_packed_conv(
+            o1, w2, m8, ids, n, affine=(a2, c2), relu=True, bias=b2,
+            skip=xp, out_padded=False,
+        )
+    got = np.asarray(o2)
+    rn = np.asarray(ref)
+    tile_act = mask_np.any(1).reshape(X // 8, 8, Y // 16, 16).any((1, 3))
+    act = np.repeat(np.repeat(tile_act, 8, 0), 16, 1)
+    sel = np.broadcast_to(act[:, None, :], (X, T, Y))
+    d = np.abs(got - rn).max(axis=-1)
+    assert d[sel].max() < 1e-3, d[sel].max()
+    # cells outside active tiles are undefined (uninitialised output
+    # buffers); every chain consumer masks or gathers kept cells only
