@@ -65,6 +65,35 @@ def main():
     # overhead and raises utilisation).  BENCH_BATCH=1 measures latency.
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     if batch > 1:
+        # vmapping the scalar-prefetch Pallas kernels is unsupported;
+        # batched throughput measures the XLA formulation instead.
+        import dataclasses
+
+        from __graft_entry__ import entry as _entry
+        from pasco_tpu.core.config import PaSCoConfig
+        from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
+        from pasco_tpu.models.unet import build_net
+        from pasco_tpu.training.step import labelweights_for
+
+        cfg = PaSCoConfig()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, pallas_conv="off")
+        )
+        net = build_net(cfg)
+        lw = labelweights_for(cfg, CLASS_FREQUENCIES)
+
+        def forward(variables, inp):  # noqa: F811 — batched variant
+            return net.apply(variables, inp, lw, train=False)
+
+        def reduced(variables, inp):  # noqa: F811
+            o = forward(variables, inp)
+            leaves = [
+                x.astype(jnp.float32).sum()
+                for x in jax.tree_util.tree_leaves(o)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+            ]
+            return sum(leaves)
+
         binp = jax.tree_util.tree_map(
             lambda x: jnp.stack([x] * batch), inp
         )

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from pasco_tpu.core.config import LossConfig
 from pasco_tpu.core.sparse import SparseGrid
 from pasco_tpu.loss.losses import (
-    dice_loss,
     sigmoid_focal_loss,
     weighted_cross_entropy,
 )
@@ -103,19 +102,33 @@ def criterion_losses(
     loss_ce = jnp.mean(ce_per_q * class_weight[target_classes])
 
     # ---- mask losses (criterion_sparse.py:83-116) -----------------------
-    pred_cols = voxel_logits[:, assign_c]            # [N, T_cap]
+    # Computed in [T_cap, N] layout: gathering the assigned queries as
+    # ROWS of voxel_logits^T is one contiguous row gather, while the
+    # [:, assign_c] form gathered along the minor (lane) dim — N*T_cap
+    # scalar fetches that profiled at ~380 ms/step forward plus a
+    # ~160 ms scatter-add backward.
+    pred_rows = voxel_logits.T[assign_c]             # [T_cap, N]
+    onehot_t = (
+        (mask_id[None, :] == jnp.arange(t_cap)[:, None])
+        & targets.valid[:, None]
+    ).astype(jnp.float32)
     tgt_w = class_weight[jnp.clip(targets.labels, 0, n_classes)]
     t_valid = assigned & targets.valid
     row_valid = (~unknown) & grid.mask
+    rv = row_valid[None, :].astype(jnp.float32)
 
-    focal = sigmoid_focal_loss(pred_cols, tgt_onehot) * tgt_w[None, :]
-    focal = focal * row_valid[:, None].astype(jnp.float32)
+    focal = sigmoid_focal_loss(pred_rows, onehot_t) * tgt_w[:, None]
+    focal = focal * rv
     n_rows = jnp.maximum(jnp.sum(row_valid.astype(jnp.float32)), 1.0)
-    per_t_focal = jnp.sum(focal, axis=0) / n_rows
+    per_t_focal = jnp.sum(focal, axis=1) / n_rows
     n_t = jnp.maximum(jnp.sum(t_valid.astype(jnp.float32)), 1.0)
     loss_mask = jnp.sum(jnp.where(t_valid, per_t_focal, 0.0)) / n_t
 
-    dice = dice_loss(pred_cols, tgt_onehot, row_valid) * tgt_w
+    probs_t = jax.nn.sigmoid(pred_rows) * rv
+    tgts_t = onehot_t * rv
+    numer = 2 * jnp.sum(probs_t * tgts_t, axis=1)
+    denom = jnp.sum(probs_t, axis=1) + jnp.sum(tgts_t, axis=1)
+    dice = (1 - (numer + 1) / (denom + 1)) * tgt_w
     loss_dice = jnp.sum(jnp.where(t_valid, dice, 0.0)) / n_t
 
     # ---- voxel-query SSC losses (criterion_sparse.py:180-209) -----------

@@ -49,12 +49,13 @@ def sine_position_encoding(
     if normalize:
         eps = 1e-6
         c = c / (c + eps) * (2 * math.pi)
-    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
-    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
-    pos = c[:, :, None] / dim_t[None, None, :]       # [N, 3, npf]
-    even = jnp.sin(pos[:, :, 0::2])
-    odd = jnp.cos(pos[:, :, 1::2])
-    pe = jnp.concatenate([even, odd], axis=-1)        # [N, 3, npf]
+    # dim_t[0::2] == dim_t[1::2] (the exponent uses i//2), so the sin/cos
+    # halves use the same frequency vector directly — the strided-slice
+    # form lowered to lane gathers (~25 MB of f32 gathers per call).
+    half = jnp.arange(num_pos_feats // 2, dtype=jnp.float32)
+    dim_h = temperature ** (2 * half / num_pos_feats)
+    pos = c[:, :, None] / dim_h[None, None, :]       # [N, 3, npf/2]
+    pe = jnp.concatenate([jnp.sin(pos), jnp.cos(pos)], axis=-1)
     return pe.reshape(coords.shape[0], 3 * num_pos_feats)
 
 
