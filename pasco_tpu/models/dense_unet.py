@@ -587,6 +587,37 @@ class DenseVoxelFeatsRefiner(nn.Module):
 
     @nn.compact
     def __call__(self, x, keep, train):
+        # Fused chain at inference: conv1 with a mask-only prologue, the
+        # BN affine + relu as conv2's prologue, keep-based active tiles
+        # (keep is the subnet's pruned set — sparser than the stage mask).
+        if (
+            self.pallas and self.packed and not train
+            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
+        ):
+            from pasco_tpu.ops.pallas_conv import (
+                active_tiles_xy, fused_packed_conv, pad_stage, stage_mask8)
+
+            m8 = stage_mask8(keep, x.shape[-1])
+            ids, n_act = active_tiles_xy(jnp.any(keep, axis=1), 8, 16)
+            w1, _ = DenseConv(
+                self.channels, 3, use_bias=False,
+                compute_dtype=self.compute_dtype, packed=True, name="conv1",
+            )(x, keep, params_only=True)
+            g = fused_packed_conv(
+                pad_stage(x), w1, m8, ids, n_act, out_padded=True,
+                compute_dtype=self.compute_dtype,
+            )
+            a, c = DenseBN(self.axis_name, packed=True, name="bn")(
+                g, keep, train, affine_only=True
+            )
+            w2, b2 = DenseConv(
+                self.channels, 3, compute_dtype=self.compute_dtype,
+                packed=True, name="conv2",
+            )(g, keep, params_only=True)
+            return fused_packed_conv(
+                g, w2, m8, ids, n_act, affine=(a, c), relu=True, bias=b2,
+                out_padded=False, compute_dtype=self.compute_dtype,
+            )
         # Packed: both convs mask their inputs inside the shifted build and
         # the output feeds extraction only (a gather of kept cells), so no
         # standalone mask passes are needed.
