@@ -96,6 +96,14 @@ class TransformerConfig:
     num_queries: int = 100
     src_scales: Tuple[int, ...] = (4, 2, 1)
     mask_dim: int = 64                # channels of the scale-1 mask features
+    # Residual dropout in the attention/FFN blocks.  The reference CLI
+    # default is ``--transformer_dropout 0.2`` (``scripts/train.py:36``) but
+    # the released code then constructs every layer with a hard-coded
+    # ``dropout=0.0`` (``transformer_predictor_v2.py:72-82``) — the flag is
+    # dead.  Default 0.0 matches that *effective* behaviour (and the
+    # released checkpoints); ``scripts_tpu/train.py`` passes the CLI value
+    # through honestly, so ``--transformer_dropout 0.2`` actually trains
+    # with dropout here.
     dropout: float = 0.0
     kv_chunk: int = 32768             # KV chunk for online-softmax attention
 
@@ -115,10 +123,15 @@ class ModelConfig:
     heavy_decoder: bool = False       # released config (train.py:58)
     num_queries: int = 100
     query_sample_ratio: float = 1.0
+    # Dropout schedule (reference ``scripts/train.py:83-87``):
+    # ``encoder_dropouts[0]`` is the point-dropout ratio (each scan drops a
+    # random 0..p fraction of its input points at train time); the last
+    # three encoder entries and the decoder entries are spatial
+    # (whole-channel) dropout rates per stage, all 0.0 in the released
+    # recipe (``net_3d_dropout=0``).  Both substrates consume them.
     encoder_dropouts: Tuple[float, ...] = (0.05, 0.0, 0.0, 0.0, 0.0, 0.0)
     decoder_dropouts: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0)
     dense3d_dropout: float = 0.0
-    transformer_dropout: float = 0.0
     drop_path_rate: float = 0.0
     use_se_layer: bool = False
     # Hot-path precision: features and conv taps in bfloat16 (halves the

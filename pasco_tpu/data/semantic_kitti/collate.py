@@ -10,7 +10,7 @@ static extents), so one compiled program serves every scan.
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -69,9 +69,17 @@ def collate(
     subnets: List[SubnetSample],
     cfg: PaSCoConfig,
     max_targets: int = 64,
+    rng: Optional[np.random.RandomState] = None,
 ) -> CollatedScene:
     """Stack n_subnets samples; compute the global bbox rounded to
-    ``complete_scale`` (reference ``collate.py:76-81``)."""
+    ``complete_scale`` (reference ``collate.py:76-81``).
+
+    ``rng`` seeds the over-capacity point subsampling; every other random
+    draw in the pipeline threads an explicit RandomState/PRNGKey, so
+    runs are bit-reproducible when one is passed.
+    """
+    if rng is None:
+        rng = np.random.RandomState()
     S = len(subnets)
     cap = cfg.capacity
     ext = cfg.scene.box_extent
@@ -88,7 +96,7 @@ def collate(
     for s, sub in enumerate(subnets):
         n = min(len(sub.in_coords), budget)
         sel = (
-            np.random.choice(len(sub.in_coords), budget, replace=False)
+            rng.choice(len(sub.in_coords), budget, replace=False)
             if len(sub.in_coords) > budget
             else np.arange(len(sub.in_coords))
         )[:n]

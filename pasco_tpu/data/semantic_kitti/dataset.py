@@ -60,6 +60,59 @@ class SubnetSample(NamedTuple):
     instance_label_origin: np.ndarray
 
 
+def parse_calibration(path: str) -> Dict[str, np.ndarray]:
+    """KITTI ``calib.txt`` -> dict of 4x4 matrices (reference
+    ``kitti_dataset.py:528-553``)."""
+    calib: Dict[str, np.ndarray] = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, content = line.strip().split(":", 1)
+            values = [float(v) for v in content.strip().split()]
+            pose = np.zeros((4, 4))
+            pose[0, :4] = values[0:4]
+            pose[1, :4] = values[4:8]
+            pose[2, :4] = values[8:12]
+            pose[3, 3] = 1.0
+            calib[key] = pose
+    return calib
+
+
+def parse_poses(path: str, calibration: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    """KITTI ``poses.txt`` (camera frame) -> per-scan LiDAR-frame poses
+    ``Tr^-1 @ pose @ Tr`` (reference ``kitti_dataset.py:555-580``)."""
+    Tr = calibration["Tr"]
+    Tr_inv = np.linalg.inv(Tr)
+    poses: List[np.ndarray] = []
+    with open(path) as f:
+        for line in f:
+            values = [float(v) for v in line.strip().split()]
+            if len(values) < 12:
+                continue
+            pose = np.zeros((4, 4))
+            pose[0, :4] = values[0:4]
+            pose[1, :4] = values[4:8]
+            pose[2, :4] = values[8:12]
+            pose[3, 3] = 1.0
+            poses.append((Tr_inv @ pose @ Tr).astype(np.float32))
+    return poses
+
+
+def fuse_multi_scan(
+    points: np.ndarray, pose0: np.ndarray, pose: np.ndarray
+) -> np.ndarray:
+    """Re-express ``points`` of a later scan in scan 0's LiDAR frame
+    (reference ``kitti_dataset.py:582-591``): lift to scan-k world
+    coordinates via ``pose``, then apply the rigid inverse of ``pose0``
+    (``R0^T (x - t0)``).  Extra feature columns pass through unchanged."""
+    h = np.hstack([points[:, :3], np.ones_like(points[:, :1])])
+    world = h @ pose.T
+    rel = world[:, :3] - pose0[:3, 3]
+    frame0 = rel @ pose0[:3, :3]      # == R0^T applied from the left
+    return np.hstack([frame0, points[:, 3:]]).astype(points.dtype)
+
+
 def voxelize_points(
     xyz: np.ndarray, voxel_size: float = params.VOXEL_SIZE
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -290,9 +343,15 @@ class KittiDataset:
     scale_range: float = 0.0
     max_translation: Sequence[float] = (0.0, 0.0, 0.0)
     use_waffleiron_feats: bool = True
+    # Fuse this many consecutive (every-5th-frame) scans into one input
+    # cloud by pose (reference ``load_data_v3``, ``kitti_dataset.py:341-367``
+    # with calib/pose parsing ``:492-580``).  1 = no fusion (the released
+    # recipe).
+    n_fuse_scans: int = 1
     seed: int = 0
 
     def __post_init__(self):
+        self._pose_cache: Dict[str, List[np.ndarray]] = {}
         self.sequences = params.SPLIT_SEQUENCES[self.split]
         self.scans: List[Tuple[str, str]] = []
         for seq in self.sequences:
@@ -308,6 +367,44 @@ class KittiDataset:
 
     def __len__(self) -> int:
         return len(self.scans)
+
+    def _seq_poses(self, seq: str) -> List[np.ndarray]:
+        """Per-scan LiDAR-frame poses of a sequence (lazy, cached; the
+        reference eagerly parses all 11 sequences up front,
+        ``load_calib_poses``, ``kitti_dataset.py:492-526``)."""
+        if seq not in self._pose_cache:
+            base = os.path.join(self.root, "dataset", "sequences", seq)
+            calib = parse_calibration(os.path.join(base, "calib.txt"))
+            self._pose_cache[seq] = parse_poses(
+                os.path.join(base, "poses.txt"), calib
+            )
+        return self._pose_cache[seq]
+
+    def _load_points(self, seq: str, frame: str):
+        """(xyz, feats) of one scan in its own LiDAR frame, or None if the
+        scan's files are absent."""
+        base = os.path.join(self.root, "dataset", "sequences", seq)
+        wi_pkl = os.path.join(
+            self.preprocess_root,
+            "waffleiron_v2/sequences", seq, "seg_feats_tta", f"{frame}.pkl",
+        )
+        if self.use_waffleiron_feats and os.path.exists(wi_pkl):
+            with open(wi_pkl, "rb") as f:
+                d = pickle.load(f)
+            emb = d["embedding"]
+            emb = emb[self.rng.randint(0, emb.shape[0])].T   # [N, 256]
+            xyz_i = d["coords"]
+            xyz, intensity = xyz_i[:, :3], xyz_i[:, 3:]
+            vote = d["vote"]
+            radius = np.linalg.norm(xyz, axis=1, keepdims=True)
+            return xyz, np.concatenate([vote, intensity, radius, emb], axis=1)
+        vel = os.path.join(base, "velodyne", f"{frame}.bin")
+        if not os.path.exists(vel):
+            return None
+        pc = io_data.read_pointcloud(vel)
+        xyz, intensity = pc[:, :3], pc[:, 3:4]
+        radius = np.linalg.norm(xyz, axis=1, keepdims=True)
+        return xyz, np.concatenate([intensity, radius], axis=1)
 
     def load_scene(self, seq: str, frame: str) -> SceneSample:
         base = os.path.join(self.root, "dataset", "sequences", seq)
@@ -325,27 +422,33 @@ class KittiDataset:
             )
             inst = np.zeros_like(sem, np.int32)
 
-        wi_pkl = os.path.join(
-            self.preprocess_root,
-            "waffleiron_v2/sequences", seq, "seg_feats_tta", f"{frame}.pkl",
-        )
-        if self.use_waffleiron_feats and os.path.exists(wi_pkl):
-            with open(wi_pkl, "rb") as f:
-                d = pickle.load(f)
-            emb = d["embedding"]
-            emb = emb[self.rng.randint(0, emb.shape[0])].T   # [N, 256]
-            xyz_i = d["coords"]
-            xyz, intensity = xyz_i[:, :3], xyz_i[:, 3:]
-            vote = d["vote"]
-            radius = np.linalg.norm(xyz, axis=1, keepdims=True)
-            feats = np.concatenate([vote, intensity, radius, emb], axis=1)
-        else:
-            pc = io_data.read_pointcloud(
-                os.path.join(base, "velodyne", f"{frame}.bin")
+        loaded = self._load_points(seq, frame)
+        if loaded is None:
+            raise FileNotFoundError(
+                f"no point data for sequence {seq} frame {frame}"
             )
-            xyz, intensity = pc[:, :3], pc[:, 3:4]
-            radius = np.linalg.norm(xyz, axis=1, keepdims=True)
-            feats = np.concatenate([intensity, radius], axis=1)
+        xyz, feats = loaded
+
+        # Multi-scan fusion by pose (reference ``kitti_dataset.py:341-367``):
+        # later scans are re-expressed in scan 0's LiDAR frame and their
+        # points concatenated.  Each fused scan contributes its own full
+        # feature set (the reference concatenates only xyz/vote and then
+        # indexes the un-extended feature arrays — which cannot run; this
+        # formulation keeps the fused cloud self-consistent).
+        if self.n_fuse_scans > 1:
+            poses = self._seq_poses(seq)
+            pose0 = poses[int(frame)]
+            for fuse_idx in range(1, self.n_fuse_scans):
+                number_idx = int(frame) + fuse_idx * 5
+                if number_idx >= len(poses):
+                    break
+                loaded = self._load_points(seq, f"{number_idx:06d}")
+                if loaded is None:
+                    continue
+                add_xyz, add_feats = loaded
+                add_xyz = fuse_multi_scan(add_xyz, pose0, poses[number_idx])
+                xyz = np.concatenate([xyz, add_xyz], axis=0)
+                feats = np.concatenate([feats, add_feats], axis=0)
 
         keep = np.all(
             (xyz >= params.VOX_ORIGIN[None]) & (xyz < params.MAX_EXTENT[None]),

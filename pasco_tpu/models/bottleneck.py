@@ -197,8 +197,11 @@ class DenseBottleneck(nn.Module):
 
     @nn.compact
     def __call__(
-        self, grid: SparseGrid, box: Box, train: bool
+        self, grid: SparseGrid, box: Box, train: bool,
+        drop_on: Optional[bool] = None,
     ) -> SparseGrid:
+        if drop_on is None:
+            drop_on = train
         dense = to_dense(grid, box, batch_size=1)  # [1, X, Y, Z, C]
         dense = SPCDense3D(
             axis_name=self.axis_name, compute_dtype=self.compute_dtype,
@@ -208,5 +211,5 @@ class DenseBottleneck(nn.Module):
             # nn.Dropout3d equivalent: drop whole channels.
             dense = nn.Dropout(
                 self.dropout, broadcast_dims=(0, 1, 2, 3),
-            )(dense, deterministic=not train)
+            )(dense, deterministic=not drop_on)
         return from_dense(dense, box, stride=grid.stride, capacity=self.out_capacity)

@@ -88,7 +88,10 @@ class DecoderBlock(nn.Module):
         bbox_min: jnp.ndarray,
         bbox_max: jnp.ndarray,
         train: bool,
+        drop_on: Optional[bool] = None,
     ) -> Tuple[SparseGrid, jnp.ndarray]:
+        if drop_on is None:
+            drop_on = train
         cd = self.compute_dtype
         g = SparseGenerativeDeconv(self.out_channels, compute_dtype=cd, name="up")(x)
         f = MaskedBatchNorm(axis_name=self.axis_name, name="up_bn")(
@@ -124,7 +127,7 @@ class DecoderBlock(nn.Module):
         if self.dropout > 0.0:
             g = g.with_feats(
                 SpatialDropout(self.dropout, name="drop")(
-                    g.feats, deterministic=not train
+                    g.feats, deterministic=not drop_on
                 )
             )
 
@@ -218,7 +221,10 @@ class GenerativeDecoder(nn.Module):
         compl_labelweights: Dict[int, jnp.ndarray],  # scale -> [n_classes]
         train: bool,
         is_predict_panop: bool = True,
+        drop_on: Optional[bool] = None,
     ) -> DecoderOutput:
+        if drop_on is None:
+            drop_on = train
         cfg = self.cfg
         S = cfg.n_infers
         cd = jnp.dtype(cfg.compute_dtype)
@@ -242,7 +248,9 @@ class GenerativeDecoder(nn.Module):
                 compute_dtype=cd,
                 name=f"block_s{scale}",
             )
-            x, sem_logits = block(x, skips[i], box, bbox_min, bbox_max, train)
+            x, sem_logits = block(
+                x, skips[i], box, bbox_min, bbox_max, train, drop_on
+            )
 
             # Occupancy cap (decoder_v3.py:319-394): keep non-empty union,
             # cap to the static per-scale capacity.  Training uses weighted

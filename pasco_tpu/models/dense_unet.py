@@ -160,6 +160,53 @@ class DenseBN(nn.Module):
         return _mm(out, mask, self.packed)
 
 
+class DenseSpatialDropout(nn.Module):
+    """Whole-channel dropout on a dense (optionally z-pair-packed) volume.
+
+    Equivalent of ``MinkowskiSpatialDropout`` (reference
+    ``pasco/models/dropout.py:41-59``: Dropout1d over the feature columns
+    of a sparse tensor == one Bernoulli draw per *channel*, shared by all
+    cells) and of the bottleneck's ``nn.Dropout3d``
+    (``unet3d_sparse_v2.py:152-154``).  Packed volumes drop logical
+    channels — both z-slots of a channel share its draw.  Stays live at
+    inference when the caller passes ``deterministic=False`` (MC dropout).
+    """
+
+    rate: float
+    packed: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        c = x.shape[-1] // 2 if self.packed else x.shape[-1]
+        keep = jax.random.bernoulli(
+            self.make_rng("dropout"), 1.0 - self.rate, (c,)
+        )
+        if self.packed:
+            keep = jnp.concatenate([keep, keep])
+        return jnp.where(keep, x / (1.0 - self.rate), 0).astype(x.dtype)
+
+
+def point_dropout(
+    pm: jnp.ndarray, rate: float, rng: jax.Array
+) -> jnp.ndarray:
+    """Drop a random 0..``rate`` fraction of the input points.
+
+    Reference recipe: ``--point_dropout_ratio 0.05`` ("randomly drop from
+    0 to 5% points in 3D input", ``scripts/train.py:42``) lands in
+    ``encoder_dropouts[0]`` — which the released reference never actually
+    consumes (``encoder_v2.py`` reads only ``dropouts[-3:]`` and only in
+    the heavy branch).  The paper recipe includes it, so it is honoured
+    here: the dropped points are removed from the validity mask before the
+    point MLP and the voxel scatter.
+    """
+    r_rng, b_rng = jax.random.split(rng)
+    frac = jax.random.uniform(r_rng) * rate
+    keep = jax.random.bernoulli(b_rng, 1.0 - frac, pm.shape)
+    return pm & keep
+
+
 class DenseConv(nn.Module):
     """3x3x3 (or 1x1x1) masked dense conv, sparse-layout weights."""
 
@@ -430,9 +477,12 @@ class DenseDecoderStage(nn.Module):
     in_packed: bool = False
     out_packed: bool = False
     pallas: bool = False
+    dropout: float = 0.0       # spatial dropout after the res stack
+    #                            (reference decoder_v3.py:116, heavy branch)
 
     @nn.compact
-    def __call__(self, x, parent_keep, skip, box, gmin, gmax, train):
+    def __call__(self, x, parent_keep, skip, box, gmin, gmax, train,
+                 drop_on=False):
         cd = self.compute_dtype
         ch = self.out_channels
         pk = self.out_packed
@@ -518,6 +568,10 @@ class DenseDecoderStage(nn.Module):
                     ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
                     mask_output=False, name=f"res{ri}",
                 )(x, msk, train)
+        if self.dropout > 0.0:
+            x = DenseSpatialDropout(
+                self.dropout, packed=pk, name="drop"
+            )(x, deterministic=not drop_on)
 
         wh = self.param(
             "head_kernel",
@@ -674,9 +728,14 @@ class DensePaSCoNet(nn.Module):
         compl_labelweights: Dict[int, jnp.ndarray],
         train: bool = False,
         is_predict_panop: bool = True,
+        mc_dropout: bool = False,
     ) -> ModelOutput:
         cfg = self.cfg
         m = cfg.model
+        # ``enable_dropout`` equivalent (reference ``torch_util.py:34-40``):
+        # with ``mc_dropout`` every dropout layer stays live at inference
+        # (BN still uses running stats, caps stay off) for MC sampling.
+        drop_on = train or mc_dropout
         cap = cfg.capacity
         S = m.n_infers
         cd = jnp.dtype(m.compute_dtype)
@@ -693,6 +752,10 @@ class DensePaSCoNet(nn.Module):
 
         # ---- point MLP (CylinderFeat, unet3d_sparse_v2.py:22-34) --------
         pf, pm = inp.point_feats, inp.point_mask
+        if drop_on and m.encoder_dropouts[0] > 0.0:
+            pm = point_dropout(
+                pm, m.encoder_dropouts[0], self.make_rng("dropout")
+            )
         # (Rematting the point MLP measurably worsened XLA's schedule.)
         f = PointMLP(m.f, self.axis_name, name="point_mlp")(pf, pm, train)
 
@@ -768,6 +831,16 @@ class DensePaSCoNet(nn.Module):
                 pallas=pallas and stride in packed_scales,
                 name=f"enc_s{stride}",
             )(x, masks[stride // 2], train)
+            # Per-stage spatial dropout (reference encoder_v2.py:157-171;
+            # the reference only builds these layers in the heavy branch —
+            # here they act in both branches whenever the rate is non-zero,
+            # which the released recipe never sets).
+            edr = m.encoder_dropouts[-3 + si]
+            if edr > 0.0:
+                x = DenseSpatialDropout(
+                    edr, packed=stride in packed_scales,
+                    name=f"enc_drop_s{stride}",
+                )(x, deterministic=not drop_on)
             enc[stride] = (x, msk)
             masks[stride] = msk
 
@@ -779,6 +852,11 @@ class DensePaSCoNet(nn.Module):
         xb = Bottleneck(
             axis_name=self.axis_name, compute_dtype=cd, name="bottleneck"
         )(x8[None].astype(jnp.float32), train)[0].astype(cd)
+        if m.dense3d_dropout > 0.0:
+            # nn.Dropout3d after SPCDense3Dv2 (unet3d_sparse_v2.py:152-154).
+            xb = DenseSpatialDropout(m.dense3d_dropout, name="dense3d_drop")(
+                xb, deterministic=not drop_on
+            )
         xb = xb.transpose(0, 2, 1, 3)
         mask8 = bbox_mask(box, 8, inp.global_min, inp.global_max, ORDER)
         x = _mask_mul(xb, mask8)
@@ -801,10 +879,11 @@ class DensePaSCoNet(nn.Module):
                 in_packed=(scale * 2) in packed_scales,
                 out_packed=scale in packed_scales,
                 pallas=pallas and scale in packed_scales,
+                dropout=m.decoder_dropouts[i],
                 name=f"dec_s{scale}",
             )(
                 x, parent_keep, enc[scale][0], box,
-                inp.global_min, inp.global_max, train,
+                inp.global_min, inp.global_max, train, drop_on,
             )
             top_class = jnp.argmax(sem, axis=-1)              # [X,Y,Z,S]
             keep = jnp.any(top_class != 0, axis=-1) & msk
@@ -917,7 +996,7 @@ class DensePaSCoNet(nn.Module):
                 n_infers=S,
                 in_channels=(m.f * 4, m.f * 2, m.f),
                 name="transformer",
-            )(panop_grids, box, train)
+            )(panop_grids, box, train, mc_dropout=mc_dropout)
 
         return ModelOutput(
             sem_grids=xs,

@@ -36,8 +36,11 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, grid: SparseGrid, box: Box, train: bool
+        self, grid: SparseGrid, box: Box, train: bool,
+        drop_on: Optional[bool] = None,
     ) -> List[SparseGrid]:
+        if drop_on is None:
+            drop_on = train
         cfg = self.cfg
         f = cfg.f_maps
         cd = jnp.dtype(cfg.compute_dtype)
@@ -67,7 +70,7 @@ class Encoder(nn.Module):
             if heavy:
                 x = x.with_feats(
                     SpatialDropout(dropout, name=f"{name}_drop")(
-                        x.feats, deterministic=not train
+                        x.feats, deterministic=not drop_on
                     )
                 )
             else:

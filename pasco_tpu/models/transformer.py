@@ -67,14 +67,22 @@ class PredictorOutput(NamedTuple):
 
 class CrossAttentionLayer(nn.Module):
     """Pre-norm masked cross-attention (reference ``blocks.py:48-91``; note
-    the residual adds onto the *normed* queries, reproduced here)."""
+    the residual adds onto the *normed* queries, reproduced here).
+
+    Dropout rides the residual branch (``blocks.py:90``); the reference's
+    additional attention-weight dropout inside ``nn.MultiheadAttention`` is
+    not reproduced — the online-softmax attention never materialises the
+    weight matrix (documented deviation; the released reference constructs
+    these layers with dropout=0.0 anyway, ``transformer_predictor_v2.py:72``).
+    """
 
     hidden_dim: int
     num_heads: int
     kv_chunk: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, q_embed, src, allowed, pos, query_pos):
+    def __call__(self, q_embed, src, allowed, pos, query_pos, deterministic=True):
         x = nn.LayerNorm(name="norm")(q_embed)
         q = nn.Dense(self.hidden_dim, name="q_proj")(x + query_pos)
         k = nn.Dense(self.hidden_dim, name="k_proj")(src + pos)
@@ -83,17 +91,23 @@ class CrossAttentionLayer(nn.Module):
             q, k, v, allowed, self.num_heads, chunk=self.kv_chunk
         )
         out = nn.Dense(self.hidden_dim, name="out_proj")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout, name="drop")(
+                out, deterministic=deterministic
+            )
         return x + out
 
 
 class SelfAttentionLayer(nn.Module):
-    """Post-norm query self-attention (reference ``blocks.py:9-45``)."""
+    """Post-norm query self-attention (reference ``blocks.py:9-45``;
+    residual dropout per ``blocks.py:42``)."""
 
     hidden_dim: int
     num_heads: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, q_embed, query_pos):
+    def __call__(self, q_embed, query_pos, deterministic=True):
         # Distinct Q/K/V projections, matching torch MultiheadAttention's
         # in_proj; q = k = embed + pos, value = embed (blocks.py:39-41).
         q = nn.Dense(self.hidden_dim, name="q_proj")(q_embed + query_pos)
@@ -101,21 +115,36 @@ class SelfAttentionLayer(nn.Module):
         v = nn.Dense(self.hidden_dim, name="v_proj")(q_embed)
         out = self_attention(q, k, v, self.num_heads)
         out = nn.Dense(self.hidden_dim, name="out_proj")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout, name="drop")(
+                out, deterministic=deterministic
+            )
         return nn.LayerNorm(name="norm")(q_embed + out)
 
 
 class FFNLayer(nn.Module):
     """Pre-norm FFN with residual on the normed stream
-    (reference ``blocks.py:94-119``)."""
+    (reference ``blocks.py:94-119``; dropout after the activation and on
+    the residual branch, ``blocks.py:100,118``)."""
 
     hidden_dim: int
     dim_feedforward: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic=True):
         y = nn.LayerNorm(name="norm")(x)
         h = nn.relu(nn.Dense(self.dim_feedforward, name="fc1")(y))
-        return y + nn.Dense(self.hidden_dim, name="fc2")(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, name="drop1")(
+                h, deterministic=deterministic
+            )
+        out = nn.Dense(self.hidden_dim, name="fc2")(h)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout, name="drop2")(
+                out, deterministic=deterministic
+            )
+        return y + out
 
 
 def downscale_attn_allowed(
@@ -162,9 +191,13 @@ class TransformerPredictor(nn.Module):
         panop_grids: Dict[int, SparseGrid],  # scale -> batched [S, cap, ...]
         box: Box,
         train: bool,
+        mc_dropout: bool = False,
     ) -> PredictorOutput:
         cfg = self.cfg
         S, Q, H = self.n_infers, cfg.num_queries, cfg.hidden_dim
+        # MC-dropout (``enable_dropout``, reference ``torch_util.py:34-40``):
+        # dropout stays live at inference for epistemic-uncertainty sampling.
+        deterministic = not (train or mc_dropout)
         npf = H // 3
 
         query_feat = self.param(
@@ -221,21 +254,25 @@ class TransformerPredictor(nn.Module):
 
             output = nn.vmap(
                 CrossAttentionLayer,
-                in_axes=(0, 0, 0, 0, 0),
+                in_axes=(0, 0, 0, 0, 0, None),
                 out_axes=0,
                 variable_axes={"params": None},
-                split_rngs={"params": False},
-            )(H, cfg.num_heads, cfg.kv_chunk, name=f"cross_{i}")(
-                output, src, allowed, pos_s, query_embed
+                split_rngs={"params": False, "dropout": True},
+            )(H, cfg.num_heads, cfg.kv_chunk, cfg.dropout, name=f"cross_{i}")(
+                output, src, allowed, pos_s, query_embed, deterministic
             )
             output = nn.vmap(
                 SelfAttentionLayer,
-                in_axes=(0, 0),
+                in_axes=(0, 0, None),
                 out_axes=0,
                 variable_axes={"params": None},
-                split_rngs={"params": False},
-            )(H, cfg.num_heads, name=f"self_{i}")(output, query_embed)
-            output = FFNLayer(H, cfg.dim_feedforward, name=f"ffn_{i}")(output)
+                split_rngs={"params": False, "dropout": True},
+            )(H, cfg.num_heads, cfg.dropout, name=f"self_{i}")(
+                output, query_embed, deterministic
+            )
+            output = FFNLayer(
+                H, cfg.dim_feedforward, cfg.dropout, name=f"ffn_{i}"
+            )(output, deterministic)
 
             cls, msk = pred_heads(output)
             preds_class.append(cls)

@@ -64,13 +64,24 @@ class PaSCoNet(nn.Module):
         compl_labelweights: Dict[int, jnp.ndarray],
         train: bool = False,
         is_predict_panop: bool = True,
+        mc_dropout: bool = False,
     ) -> ModelOutput:
         cfg = self.cfg
         m = cfg.model
         cap = cfg.capacity
         S = m.n_infers
+        # MC-dropout switch (``enable_dropout``, torch_util.py:34-40).
+        drop_on = train or mc_dropout
 
         box = Box.create(inp.global_min, cfg.scene.box_extent)
+
+        pm = inp.point_mask
+        if drop_on and m.encoder_dropouts[0] > 0.0:
+            from pasco_tpu.models.dense_unet import point_dropout
+
+            pm = point_dropout(
+                pm, m.encoder_dropouts[0], self.make_rng("dropout")
+            )
 
         # --- Point featurizer + MIMO channel-concat fusion ---------------
         per_subnet = CylinderFeat(
@@ -79,7 +90,7 @@ class PaSCoNet(nn.Module):
             axis_name=self.axis_name,
             name="cylinder_feat",
         )(
-            inp.point_feats, inp.point_coords, inp.point_mask, box, S, train
+            inp.point_feats, inp.point_coords, pm, box, S, train
         )
         merged = mimo_merge(per_subnet, box, S, cap.enc_s1)
         # Hot-path precision: carry features in the compute dtype (bfloat16
@@ -92,7 +103,7 @@ class PaSCoNet(nn.Module):
 
         # --- Encoder ------------------------------------------------------
         enc = Encoder(m, cap, axis_name=self.axis_name, name="encoder")(
-            merged, box, train
+            merged, box, train, drop_on
         )
 
         # --- Dense bottleneck at stride 8 --------------------------------
@@ -102,7 +113,7 @@ class PaSCoNet(nn.Module):
             axis_name=self.axis_name,
             compute_dtype=jnp.dtype(m.compute_dtype),
             name="dense_bottleneck",
-        )(enc[3], box, train)
+        )(enc[3], box, train, drop_on)
 
         # --- Generative decoder ------------------------------------------
         dec: DecoderOutput = GenerativeDecoder(
@@ -118,6 +129,7 @@ class PaSCoNet(nn.Module):
             compl_labelweights,
             train,
             is_predict_panop=is_predict_panop,
+            drop_on=drop_on,
         )
 
         predictor = None
@@ -129,7 +141,7 @@ class PaSCoNet(nn.Module):
                 n_infers=S,
                 in_channels=(m.f * 4, m.f * 2, m.f),
                 name="transformer",
-            )(dec.panop_grids, box, train)
+            )(dec.panop_grids, box, train, mc_dropout=mc_dropout)
 
         return ModelOutput(
             sem_grids=dec.xs,

@@ -76,10 +76,11 @@ def _prefetch(iterator: Iterable, size: int = 2):
         yield item
 
 
-def scene_iterator(dataset, cfg: PaSCoConfig, indices, max_targets=64):
+def scene_iterator(dataset, cfg: PaSCoConfig, indices, max_targets=64,
+                   rng=None):
     for i in indices:
         subnets = dataset[i]
-        yield collate(subnets, cfg, max_targets=max_targets)
+        yield collate(subnets, cfg, max_targets=max_targets, rng=rng)
 
 
 def train(
@@ -126,7 +127,7 @@ def train(
         pretrain_sem_epochs = {4: 2, 3: 1}.get(cfg.model.n_infers, 0)
 
     rng = np.random.RandomState(seed)
-    first = collate(dataset[0], train_cfg)
+    first = collate(dataset[0], train_cfg, rng=rng)
     state, tx = tstep.create_train_state(
         train_net, train_cfg, tstep.scene_to_model_input(first), lw,
         jax.random.PRNGKey(seed),
@@ -168,9 +169,11 @@ def train(
         if limit_train_batches:
             order = order[:limit_train_batches]
         t_epoch = time.time()
-        for scene in _prefetch(scene_iterator(dataset, train_cfg, order)):
+        for scene in _prefetch(scene_iterator(dataset, train_cfg, order, rng=rng)):
             inp = tstep.scene_to_model_input(scene)
             tgt = tstep.targets_to_device(scene.targets)
+            # train_step folds state.step into this key, so each step's
+            # dropout/Gumbel draws differ even with a constant base key.
             state, logs = step_fn(state, inp, tgt, jax.random.PRNGKey(seed))
             global_step += 1
             if global_step % 20 == 0:

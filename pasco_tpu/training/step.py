@@ -256,3 +256,23 @@ def eval_step(
     """Pure forward for inference/benchmarking (reference
     ``step_inference``'s timed region, ``net_panoptic_sparse.py:539-648``)."""
     return net.apply(variables, inp, labelweights, train=False)
+
+
+def mc_eval_step(
+    variables,
+    inp: ModelInput,
+    rng,
+    *,
+    net: PaSCoNet,
+    labelweights: Dict[int, jnp.ndarray],
+):
+    """Forward with dropout kept live (``enable_dropout`` equivalent,
+    reference ``torch_util.py:34-40`` — commented out in the released
+    ``eval.py:75`` but part of the paper's MC-dropout uncertainty recipe).
+    BN still uses running statistics and the voxel caps stay in eval mode;
+    different ``rng`` values give different stochastic forward samples.
+    """
+    return net.apply(
+        variables, inp, labelweights, train=False, mc_dropout=True,
+        rngs={"dropout": rng},
+    )

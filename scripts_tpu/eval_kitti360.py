@@ -14,6 +14,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--instance_label_root", default="")
+    p.add_argument("--label_root", default="",
+                   help="SSCBench-KITTI360 *_1_1.npy label volumes")
+    p.add_argument("--match_file", default="",
+                   help="kitti_360_match.txt (raw frame-id mapping)")
     p.add_argument("--model_path", required=True)
     p.add_argument("--n_infers", type=int, default=1)
     p.add_argument("--split", default="test", choices=["val", "test"])
@@ -40,7 +44,9 @@ def main():
 
     ds = Kitti360Dataset(
         root=args.dataset_root,
+        label_root=args.label_root,
         instance_label_root=args.instance_label_root,
+        match_file=args.match_file,
         split=args.split,
         n_subnets=args.n_infers,
         data_aug=True,

@@ -86,8 +86,10 @@ def main():
             use_se_layer=args.use_se_layer,
             encoder_dropouts=tuple(encoder_dropouts),
             decoder_dropouts=tuple(decoder_dropouts),
-            transformer_dropout=args.transformer_dropout,
-            transformer=TransformerConfig(num_queries=args.num_queries),
+            transformer=TransformerConfig(
+                num_queries=args.num_queries,
+                dropout=args.transformer_dropout,
+            ),
         ),
         loss=LossConfig(
             mask_weight=args.mask_weight,

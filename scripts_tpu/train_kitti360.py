@@ -16,6 +16,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--instance_label_root", default="")
+    p.add_argument("--label_root", default="",
+                   help="SSCBench-KITTI360 *_1_1.npy label volumes")
+    p.add_argument("--match_file", default="",
+                   help="kitti_360_match.txt (raw frame-id mapping)")
     p.add_argument("--log_dir", default="logs")
     p.add_argument("--n_infers", type=int, default=1)
     p.add_argument("--max_epochs", type=int, default=80)
@@ -40,14 +44,18 @@ def main():
 
     train_ds = Kitti360Dataset(
         root=args.dataset_root,
+        label_root=args.label_root,
         instance_label_root=args.instance_label_root,
+        match_file=args.match_file,
         split="train",
         n_subnets=args.n_infers,
         seed=args.seed,
     )
     val_ds = Kitti360Dataset(
         root=args.dataset_root,
+        label_root=args.label_root,
         instance_label_root=args.instance_label_root,
+        match_file=args.match_file,
         split="val",
         n_subnets=args.n_infers,
         seed=args.seed,
