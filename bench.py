@@ -1,13 +1,24 @@
 """Benchmark: flagship model (PaSCo-single, SemanticKITTI config) on one chip.
 
-Measures end-to-end jitted forward throughput (scans/sec) on a synthetic
-SemanticKITTI-sized scan, the same quantity the reference reports as
-"inference time" (0.703 s/scan on a V100-32G for PaSCo-single,
-reference README.md:411 — the timed region is the UNet forward,
+Measures end-to-end jitted forward throughput (scans/sec) over synthetic
+SemanticKITTI-sized scans drawn with the reference's eval-protocol
+augmentation (``eval.py:56`` runs validation with ``data_aug=True``:
+random rotation up to +-30deg + small translation per scan) — the same
+quantity the reference reports as "inference time" (0.703 s/scan on a
+V100-32G for PaSCo-single, reference README.md:411; timed region
 ``net_panoptic_sparse.py:228-250``).
+
+Each scan dispatches to the smallest pre-compiled working-box program
+covering its bbox (``pasco_tpu/inference/dispatch.py``) — mirroring the
+reference, whose sparse tensors span each scan's actual extent instead of
+a fixed union box.  Reported value = 1 / mean-per-scan latency.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the speedup over the reference V100 number.
+
+Env knobs: BENCH_SCANS (default 6), BENCH_ITERS per scan (default 4),
+BENCH_BATCH>1 switches to the vmapped batched-throughput measurement,
+BENCH_FIXED_BOX=1 disables adaptive dispatch (old protocol).
 """
 
 from __future__ import annotations
@@ -24,6 +35,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_SCAN_SEC = 0.703  # reference PaSCo-single inference time on V100
 
 
+def _reduced(forward):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(variables, inp):
+        o = forward(variables, inp)
+        leaves = [
+            x.astype(jnp.float32).sum()
+            for x in jax.tree_util.tree_leaves(o)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+        ]
+        return sum(leaves)
+
+    return fn
+
+
 def main():
     import jax
 
@@ -36,44 +63,30 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from __graft_entry__ import entry
+    import dataclasses
 
-    forward, (variables, inp) = entry()
-    fn = jax.jit(forward)
-
-    # Warmup / compile.
-    out = fn(variables, inp)
-    jax.block_until_ready(out)
-
-    # Force every iteration with a host transfer: on this backend
-    # ``block_until_ready`` does not reliably wait for remote execution, so
-    # each sample fetches a scalar reduction of the outputs — an honest
-    # round trip (the ~28 ms dispatch overhead is subtracted below).
     import jax.numpy as jnp
 
-    def reduced(variables, inp):
-        o = forward(variables, inp)
-        leaves = [
-            x.astype(jnp.float32).sum()
-            for x in jax.tree_util.tree_leaves(o)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
-        ]
-        return sum(leaves)
+    from __graft_entry__ import _synthetic_model_input, entry
+    from pasco_tpu.core.config import PaSCoConfig
+    from pasco_tpu.data.semantic_kitti.collate import collate
+    from pasco_tpu.data.semantic_kitti.dataset import process_scene
+    from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
+    from pasco_tpu.data.synthetic import make_scene
+    from pasco_tpu.data.transform_utils import generate_random_transformation
+    from pasco_tpu.inference.dispatch import AdaptiveForward
+    from pasco_tpu.training.step import labelweights_for, scene_to_model_input
 
-    # Optional batched throughput: vmap B independent scans per dispatch
-    # (the north-star metric is scans/sec/chip; batching amortises dispatch
-    # overhead and raises utilisation).  BENCH_BATCH=1 measures latency.
+    forward, (variables, inp0) = entry()
+
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "4"))
+
     if batch > 1:
+        # Batched throughput: vmap B independent scans per dispatch.
         # vmapping the scalar-prefetch Pallas kernels is unsupported;
         # batched throughput measures the XLA formulation instead.
-        import dataclasses
-
-        from __graft_entry__ import entry as _entry
-        from pasco_tpu.core.config import PaSCoConfig
-        from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
         from pasco_tpu.models.unet import build_net
-        from pasco_tpu.training.step import labelweights_for
 
         cfg = PaSCoConfig()
         cfg = dataclasses.replace(
@@ -82,37 +95,75 @@ def main():
         net = build_net(cfg)
         lw = labelweights_for(cfg, CLASS_FREQUENCIES)
 
-        def forward(variables, inp):  # noqa: F811 — batched variant
+        def fwd(variables, inp):
             return net.apply(variables, inp, lw, train=False)
 
-        def reduced(variables, inp):  # noqa: F811
-            o = forward(variables, inp)
-            leaves = [
-                x.astype(jnp.float32).sum()
-                for x in jax.tree_util.tree_leaves(o)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
-            ]
-            return sum(leaves)
-
         binp = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x] * batch), inp
+            lambda x: jnp.stack([x] * batch), inp0
         )
-        rfn = jax.jit(jax.vmap(reduced, in_axes=(None, 0)))
-        args = (variables, binp)
+        rfn = jax.jit(jax.vmap(_reduced(fwd), in_axes=(None, 0)))
+        jax.block_until_ready(rfn(variables, binp))  # compile
+        samples = []
+        for _ in range(max(n_iters, 6)):
+            t0 = time.perf_counter()
+            np.asarray(rfn(variables, binp))
+            samples.append((time.perf_counter() - t0) / batch)
+        dt = sorted(samples)[len(samples) // 2]
+        scans_per_sec = 1.0 / dt
     else:
-        rfn = jax.jit(reduced)
-        args = (variables, inp)
+        cfg = PaSCoConfig()
+        lw = labelweights_for(cfg, CLASS_FREQUENCIES)
+        fixed = os.environ.get("BENCH_FIXED_BOX", "0") == "1"
+        if fixed:
+            cfg = cfg.replace(
+                scene=dataclasses.replace(cfg.scene, box_candidates=())
+            )
+        adaptive = AdaptiveForward(cfg, lw)
+        rfns = {
+            cand: jax.jit(_reduced(adaptive.fn_for(cand)))
+            for cand in adaptive.cands
+        }
 
-    jax.block_until_ready(rfn(*args))  # compile
-    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    samples = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        np.asarray(rfn(*args))
-        samples.append((time.perf_counter() - t0) / batch)
-    dt = sorted(samples)[len(samples) // 2]
+        # Scans drawn with the eval augmentation distribution (+-30deg
+        # rotation, 0.2 m translation — scripts_tpu/eval.py defaults).
+        n_scans = int(os.environ.get("BENCH_SCANS", "6"))
+        rng = np.random.RandomState(0)
+        scans = []
+        for k in range(n_scans):
+            scene = make_scene(
+                rng,
+                scene_size=cfg.scene.scene_size,
+                n_points=min(cfg.capacity.num_points, 120000),
+                point_feat_dim=cfg.model.in_channels - 6,
+            )
+            T = generate_random_transformation(
+                rng, max_angle=30.0, scale_range=0.0,
+                max_translation=(0.2, 0.2, 0.1),
+            )
+            sub = process_scene(scene, T, rng)
+            col = collate([sub], cfg, rng=rng)
+            scans.append(scene_to_model_input(col))
 
-    scans_per_sec = 1.0 / dt
+        # Warm every candidate program that will be dispatched.
+        per_scan = [adaptive.box_for(s) for s in scans]
+        for cand in sorted(set(per_scan)):
+            s = scans[per_scan.index(cand)]
+            jax.block_until_ready(rfns[cand](variables, s))
+
+        # Honest timing: each sample fetches a scalar reduction of the
+        # outputs to the host (block_until_ready does not reliably wait for
+        # remote execution on this backend).
+        lat = []
+        for s, cand in zip(scans, per_scan):
+            rfn = rfns[cand]
+            samples = []
+            for _ in range(n_iters):
+                t0 = time.perf_counter()
+                np.asarray(rfn(variables, s))
+                samples.append(time.perf_counter() - t0)
+            lat.append(sorted(samples)[len(samples) // 2])
+        scans_per_sec = 1.0 / float(np.mean(lat))
+
     print(
         json.dumps(
             {

@@ -151,10 +151,11 @@ class ModelConfig:
     # convs — measured ~1.8x faster per stride-1 conv in context.
     # Requires the working-box z extent divisible by 4.
     z_pack: bool = True
-    # Packed-conv execution at inference: "auto" uses the block-sparse
-    # fused Pallas kernel (ops/pallas_conv.py:block_sparse_packed_conv)
-    # on TPU backends, "off" always uses the XLA formulation.  Training
-    # always uses XLA (the kernel has no VJP).
+    # Packed-conv execution: "auto" uses the block-sparse Pallas kernel
+    # (ops/pallas_conv.py) on TPU backends — at inference through the
+    # fused residual chain, in training through the custom-VJP wrapper
+    # (backward data pass = the same kernel with flipped taps); "off"
+    # always uses the XLA formulation.
     pallas_conv: str = "auto"
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
 
@@ -184,6 +185,21 @@ class SceneConfig:
     # augmentation never moves z, so z stays at the canonical 32);
     # dense-mode FLOPs scale linearly with this volume.
     box_extent: Tuple[int, int, int] = (352, 352, 32)
+    # Scene-adaptive working boxes: at inference each scan dispatches to
+    # the SMALLEST candidate program covering its actual bbox (an
+    # unaugmented scan spans the canonical 256^2; a 30deg-rotated one up to
+    # 350^2 — extent ~ 256(|cos a|+|sin a|)).  This mirrors the reference,
+    # whose sparse tensors only ever span the scan's true bbox
+    # (MinkowskiEngine coordinate maps are dynamic), instead of paying the
+    # p100 union for every scan.  Parameters are box-independent, so all
+    # candidates share one variable tree; each candidate is one cached XLA
+    # program.  None/empty = always use ``box_extent``.
+    box_candidates: Tuple[Tuple[int, int, int], ...] = (
+        (256, 256, 32),
+        (288, 288, 32),
+        (320, 320, 32),
+        (352, 352, 32),
+    )
     # Training-time working box: the reference trains on random 0.8-crops
     # (``kitti_dataset.py:463-490``), so the train step needs a smaller box
     # than full-scene inference — (256, 256, 32) is what fits one 16GB chip
@@ -288,6 +304,7 @@ def tiny_config(n_infers: int = 1, n_classes: int = 20) -> PaSCoConfig:
         scene=SceneConfig(
             scene_size=(32, 32, 8),
             box_extent=(64, 64, 16),
+            box_candidates=((48, 48, 16), (64, 64, 16)),
             train_box_extent=None,
         ),
         capacity=CapacityConfig(

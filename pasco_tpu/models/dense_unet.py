@@ -253,12 +253,17 @@ class DenseConv(nn.Module):
             and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
         ):
             # Block-sparse fused kernel: skips empty (8, 16) xy tiles and
-            # fuses input masking + the shifted-input build + bias.
-            from pasco_tpu.ops.pallas_conv import block_sparse_packed_conv
+            # fuses input masking + the shifted-input build + bias.  The
+            # custom-VJP wrapper makes it differentiable (backward data
+            # pass = the same kernel with flipped taps), so training and
+            # remat re-forwards run it too.
+            from pasco_tpu.ops.pallas_conv import packed_conv_trainable
 
-            out = block_sparse_packed_conv(
-                x, w, mask, bias=b, compute_dtype=cd
+            b_arr = (
+                b if b is not None
+                else jnp.zeros((self.out_channels,), w.dtype)
             )
+            out = packed_conv_trainable(x, w, b_arr, mask, b is not None, cd)
         elif self.packed:
             out = conv3_packed_z2(
                 x, w, b, compute_dtype=cd,
@@ -800,11 +805,13 @@ class DensePaSCoNet(nn.Module):
         )
         if zp:
             x = pack_z2(x)
-        # Block-sparse fused Pallas conv for the packed stages: inference
-        # only (no VJP) and only on a real TPU backend (tests run the XLA
-        # formulation on CPU).
+        # Block-sparse Pallas conv for the packed stages, on a real TPU
+        # backend only (tests run the XLA formulation on CPU).  Training
+        # uses the custom-VJP wrapper (ops/pallas_conv.py:
+        # packed_conv_trainable); the fused *chain* (BN-affine prologue)
+        # remains inference-only — its gates below include ``not train``.
         pallas = (
-            zp and not train and m.pallas_conv != "off"
+            zp and m.pallas_conv != "off"
             and jax.default_backend() == "tpu"
         )
 

@@ -656,6 +656,91 @@ def block_sparse_packed_conv(
     return out.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Custom VJP: the packed block-sparse conv as a TRAINING op.
+#
+# Declared semantics (the contract every caller of the packed path already
+# honours): ``y = conv3(M (.) x, w) + b``, read only at mask-valid cells —
+# cells outside active tiles come back zero from the kernel, the XLA
+# formulation computes (never-read) values there, and consumers mask or
+# gather valid cells only.  The backward therefore zeroes the incoming
+# cotangent at invalid cells first; after that:
+#
+#   dx = M (.) conv3(dy_masked, flip(w))      <- ANOTHER packed conv: the
+#        transpose of a 'same' 3^3 conv is a 'same' 3^3 conv with
+#        spatially flipped taps and transposed channel blocks, so the
+#        backward data pass rides the same Pallas kernel (same active
+#        tiles — submanifold output mask == input mask);
+#   dw[k] = sum_cells tap_k(M (.) x) (x) dy   <- via jax.vjp of the XLA
+#        formulation restricted to the weight (27 [N,Ci]^T @ [N,Co] dots);
+#   db = sum_cells dy_masked (slot halves folded).
+#
+# This lets training (including every remat re-forward) run the fused
+# tile-skipping kernel where round 1 had to fall back to XLA
+# ("Training always uses XLA", core/config.py r1).  Gradients are
+# checked against the XLA formulation's autodiff in
+# tests/test_pallas_conv.py::test_packed_conv_vjp_matches_xla.
+# ---------------------------------------------------------------------------
+
+
+def _mask_slots(v: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    c = v.shape[-1] // 2
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+    return jnp.concatenate(
+        [
+            jnp.where(lo[..., None], v[..., :c], 0),
+            jnp.where(hi[..., None], v[..., c:], 0),
+        ],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def packed_conv_trainable(x, weight, bias, mask, has_bias, compute_dtype):
+    """Differentiable ``block_sparse_packed_conv`` (bias must be an array;
+    pass zeros with ``has_bias=False`` to drop its gradient)."""
+    return block_sparse_packed_conv(
+        x, weight, mask,
+        bias=bias if has_bias else None,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _pct_fwd(x, weight, bias, mask, has_bias, compute_dtype):
+    y = packed_conv_trainable(x, weight, bias, mask, has_bias, compute_dtype)
+    return y, (x, weight, mask)
+
+
+def _pct_bwd(has_bias, compute_dtype, res, dy):
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2
+
+    x, weight, mask = res
+    dym = _mask_slots(dy, mask)
+    # Data gradient: flipped-tap conv through the same Pallas kernel.
+    w_t = weight[::-1].swapaxes(1, 2)
+    dx = block_sparse_packed_conv(dym, w_t, mask, compute_dtype=compute_dtype)
+    dx = _mask_slots(dx, mask).astype(x.dtype)
+    # Weight gradient via the XLA formulation's own vjp (reuses its
+    # shifted-input build; 27 K=N contraction dots on the MXU).
+    _, vjp_w = jax.vjp(
+        lambda w_: conv3_packed_z2(
+            x, w_, None, compute_dtype=compute_dtype, mask=mask
+        ),
+        weight,
+    )
+    (dw,) = vjp_w(dym)
+    if has_bias:
+        db2 = dym.astype(jnp.float32).sum(axis=(0, 1, 2))
+        co = weight.shape[-1]
+        db = (db2[:co] + db2[co:]).astype(weight.dtype)
+    else:
+        db = jnp.zeros((weight.shape[-1],), weight.dtype)
+    return dx, dw, db, None
+
+
+packed_conv_trainable.defvjp(_pct_fwd, _pct_bwd)
+
+
 def block_sparse_conv3(
     x: jnp.ndarray,          # [X, Y, Z, C] masked dense volume
     weight: jnp.ndarray,     # [27, Cin, Cout] (kernel_offsets(3) order)

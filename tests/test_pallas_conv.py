@@ -165,3 +165,64 @@ def test_fused_packed_conv_chain_matches_xla():
     assert d[sel].max() < 1e-3, d[sel].max()
     # cells outside active tiles are undefined (uninitialised output
     # buffers); every chain consumer masks or gathers kept cells only
+
+
+def test_packed_conv_vjp_matches_xla():
+    """Gradients of the custom-VJP Pallas conv == autodiff of the XLA
+    formulation, for a loss that reads mask-valid cells only (the packed
+    path's contract)."""
+    import jax
+
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2, pack_z2
+    from pasco_tpu.ops.pallas_conv import packed_conv_trainable
+
+    r = np.random.RandomState(3)
+    X, Z, Y, C, D = 16, 8, 32, 4, 4
+    x = jnp.asarray(r.randn(X, Z, Y, C).astype(np.float32))
+    mask_np = r.rand(X, Z, Y) > 0.5
+    mask_np[8:] = False
+    mask = jnp.asarray(mask_np)
+    w = jnp.asarray(r.randn(27, C, D).astype(np.float32) * 0.1)
+    b = jnp.asarray(r.randn(D).astype(np.float32) * 0.1)
+    xp = pack_z2(x)
+    # cotangent weights restricted to valid cells
+    g = jnp.asarray(r.randn(X, Z, Y, D).astype(np.float32))
+    gm = pack_z2(jnp.where(mask[..., None], g, 0))
+
+    def loss_xla(x_, w_, b_):
+        y = conv3_packed_z2(x_, w_, b_, mask=mask)
+        return jnp.sum(y * gm)
+
+    def loss_pallas(x_, w_, b_):
+        y = packed_conv_trainable(x_, w_, b_, mask, True, None)
+        return jnp.sum(y * gm)
+
+    ref = jax.grad(loss_xla, argnums=(0, 1, 2))(xp, w, b)
+    with _interpret():
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(xp, w, b)
+        # forward values agree at valid cells too
+        y_p = packed_conv_trainable(xp, w, b, mask, True, None)
+    y_x = conv3_packed_z2(xp, w, b, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(y_p * (gm != 0)), np.asarray(y_x * (gm != 0)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # dx: the XLA autodiff also produces cotangents at never-read cells
+    # (its forward computes values there); the declared semantics make
+    # those cells zero, so compare at mask-valid cells.
+    mvalid = np.asarray(
+        pack_z2(jnp.broadcast_to(mask[..., None], (X, Z, Y, C)).astype(
+            jnp.float32))
+    ) > 0
+    np.testing.assert_allclose(
+        np.asarray(got[0])[mvalid], np.asarray(ref[0])[mvalid],
+        rtol=1e-4, atol=1e-4,
+    )
+    assert np.all(np.asarray(got[0])[~mvalid] == 0)
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[2]), np.asarray(ref[2]), rtol=1e-4, atol=1e-4
+    )
