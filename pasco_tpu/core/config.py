@@ -295,6 +295,10 @@ def tiny_config(n_infers: int = 1, n_classes: int = 20) -> PaSCoConfig:
             n_infers=n_infers,
             n_classes=n_classes,
             in_channels=8,
+            # No stochastic input for tests: the flagship default applies
+            # 0..5% point dropout per train step (the recipe);
+            # tests/test_dropout.py covers the dropout machinery explicitly.
+            encoder_dropouts=(0.0,) * 6,
             transformer=TransformerConfig(
                 hidden_dim=48, num_heads=4, dim_feedforward=64, num_queries=10,
                 mask_dim=16, kv_chunk=256,

@@ -255,9 +255,13 @@ def top_k_compact(
 
     Mirrors the reference's voxel-cap logic (``decoder_v3.py:347-377``): when
     the number of kept voxels exceeds the cap, the top-``capacity`` by score
-    survive (the reference samples via ``torch.multinomial`` during training
-    and caps with topk otherwise; we use deterministic top-k, which matches
-    its test-time behaviour).
+    survive.  The reference samples via ``torch.multinomial`` during
+    training and caps by topk at test time; callers reproduce BOTH — the
+    decoder adds Gumbel noise to the log-scores in train mode before
+    calling this (``models/decoder.py:255-259``; Gumbel-top-k == weighted
+    sampling without replacement), and passes raw scores at eval, which
+    makes this deterministic top-k — so this function itself stays
+    sampling-free.
     """
     keep = keep & grid.mask
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)

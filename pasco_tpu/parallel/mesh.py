@@ -63,12 +63,17 @@ def dp_train_step(
     class_weight: jnp.ndarray,
     cfg: PaSCoConfig,
     is_predict_panop: bool = True,
+    fold_axis_rng: bool = True,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """Data-parallel training step over the mesh ``data`` axis.
 
     Parameters are replicated; each device computes its scene's loss and
     gradient; gradients and logged scalars are ``pmean``-reduced over ICI,
     then one replicated optimizer update runs.
+
+    ``fold_axis_rng=False`` gives every device the SAME dropout/sampling
+    key — used by the scaling test to assert that DP over N copies of one
+    scene produces exactly the single-device update.
     """
     axis = mesh.axis_names[0]
 
@@ -77,8 +82,9 @@ def dp_train_step(
         # squeeze it back to one scene.
         inp_i = jax.tree_util.tree_map(lambda x: x[0], inp_i)
         tgt_i = jax.tree_util.tree_map(lambda x: x[0], tgt_i)
-        idx = jax.lax.axis_index(axis)
-        rng_i = jax.random.fold_in(rng_i, idx)
+        if fold_axis_rng:
+            idx = jax.lax.axis_index(axis)
+            rng_i = jax.random.fold_in(rng_i, idx)
         d_rng, s_rng = jax.random.split(jax.random.fold_in(rng_i, state.step))
 
         def loss_fn(p):

@@ -83,6 +83,79 @@ def scene_iterator(dataset, cfg: PaSCoConfig, indices, max_targets=64,
         yield collate(subnets, cfg, max_targets=max_targets, rng=rng)
 
 
+# ---------------------------------------------------------------------------
+# Multiprocess host pipeline.  `process_scene` does a full-grid hole-free
+# resample plus per-class label pyramids in NumPy (>0.5 s/scene), so one
+# thread cannot keep a ~1 s/step accelerator fed.  The reference uses 3
+# DataLoader workers per GPU (kitti_dm.py); this is the equivalent: a
+# process pool where each worker builds fully-collated scenes.  Work is
+# deterministic regardless of worker assignment — every index derives its
+# own RandomState.
+# ---------------------------------------------------------------------------
+
+_WORKER_STATE: Dict[str, object] = {}
+
+
+def _worker_init(dataset, cfg, max_targets, seed):
+    _WORKER_STATE.update(
+        dataset=dataset, cfg=cfg, max_targets=max_targets, seed=seed
+    )
+
+
+def _worker_load(i: int):
+    ds = _WORKER_STATE["dataset"]
+    seed = _WORKER_STATE["seed"]
+    # Deterministic per-index stream: the dataset's internal rng (subnet
+    # scan pairing + augmentation draws) is re-seeded per item, so the
+    # result does not depend on which worker gets the index.
+    rng = np.random.RandomState((seed * 100_003 + i) % (2**31 - 1))
+    if hasattr(ds, "rng"):
+        ds.rng = rng
+    return collate(
+        ds[i], _WORKER_STATE["cfg"],
+        max_targets=_WORKER_STATE["max_targets"], rng=rng,
+    )
+
+
+def parallel_scene_iterator(
+    dataset, cfg: PaSCoConfig, indices, max_targets=64, num_workers=3,
+    seed=0, prefetch=2,
+):
+    """Process-pool scene loader; falls back to the single-thread iterator
+    for ``num_workers <= 0``.  Yields scenes in index order."""
+    if num_workers <= 0:
+        yield from scene_iterator(
+            dataset, cfg, indices, max_targets,
+            rng=np.random.RandomState(seed),
+        )
+        return
+    import collections
+    from concurrent.futures import ProcessPoolExecutor
+    import multiprocessing as mp
+
+    # spawn, not fork: the parent holds a live TPU client whose threads
+    # do not survive forking; spawned workers import lazily and never
+    # initialise a JAX backend (they only run NumPy).
+    ctx = mp.get_context("spawn")
+    with ProcessPoolExecutor(
+        max_workers=num_workers,
+        mp_context=ctx,
+        initializer=_worker_init,
+        initargs=(dataset, cfg, max_targets, seed),
+    ) as ex:
+        it = iter(indices)
+        pending = collections.deque()
+        for i in it:
+            pending.append(ex.submit(_worker_load, i))
+            if len(pending) >= num_workers + prefetch:
+                break
+        while pending:
+            yield pending.popleft().result()
+            for i in it:
+                pending.append(ex.submit(_worker_load, i))
+                break
+
+
 def train(
     cfg: PaSCoConfig,
     dataset,
@@ -96,6 +169,8 @@ def train(
     ckpt_every_epochs: int = 1,
     lr_mode: str = "reference",
     pretrain_sem_epochs: Optional[int] = None,
+    accum_steps: int = 1,
+    num_workers: int = 3,
 ):
     """Single-chip training entry point (DP variant lives in
     ``pasco_tpu/parallel/mesh.py``)."""
@@ -147,6 +222,7 @@ def train(
     except Exception:
         pass
 
+    flags = {True} if pretrain_sem_epochs == 0 else {True, False}
     step_fns = {
         flag: jax.jit(
             partial(
@@ -158,8 +234,27 @@ def train(
             # update holds two copies of 117M params + moments.
             donate_argnums=(0,),
         )
-        for flag in ({True} if pretrain_sem_epochs == 0 else {True, False})
+        for flag in flags
     }
+    # Gradient accumulation (reference effective batch = accumulate x
+    # n_gpus x 1 scene, scripts/train.py:213,230): grads-only microbatch
+    # step + a summed-gradient optimizer apply.
+    if accum_steps > 1:
+        grad_fns = {
+            flag: jax.jit(
+                partial(
+                    tstep.grad_step,
+                    net=train_net, labelweights=lw, class_weight=cw,
+                    cfg=train_cfg, is_predict_panop=flag,
+                )
+            )
+            for flag in flags
+        }
+        acc_fn = jax.jit(tstep.accumulate_grads, donate_argnums=(0,))
+        apply_fn = jax.jit(
+            partial(tstep.apply_grads, tx=tx, n_accum=accum_steps),
+            donate_argnums=(0, 1),
+        )
 
     global_step = 0
     for epoch in range(n_epochs):
@@ -169,12 +264,33 @@ def train(
         if limit_train_batches:
             order = order[:limit_train_batches]
         t_epoch = time.time()
-        for scene in _prefetch(scene_iterator(dataset, train_cfg, order, rng=rng)):
+        acc = None
+        n_acc = 0
+        epoch_iter = parallel_scene_iterator(
+            dataset, train_cfg, order, num_workers=num_workers,
+            seed=seed * 1009 + epoch,
+        )
+        for scene in _prefetch(epoch_iter):
             inp = tstep.scene_to_model_input(scene)
             tgt = tstep.targets_to_device(scene.targets)
-            # train_step folds state.step into this key, so each step's
-            # dropout/Gumbel draws differ even with a constant base key.
-            state, logs = step_fn(state, inp, tgt, jax.random.PRNGKey(seed))
+            if accum_steps > 1:
+                micro_key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed), global_step * accum_steps + n_acc
+                )
+                grads, logs, new_bs = grad_fns[is_panop](
+                    state, inp, tgt, micro_key
+                )
+                state = state._replace(batch_stats=new_bs)
+                acc = grads if acc is None else acc_fn(acc, grads)
+                n_acc += 1
+                if n_acc < accum_steps:
+                    continue
+                state = apply_fn(state, acc)
+                acc, n_acc = None, 0
+            else:
+                # train_step folds state.step into this key, so each step's
+                # dropout/Gumbel draws differ even with a constant base key.
+                state, logs = step_fn(state, inp, tgt, jax.random.PRNGKey(seed))
             global_step += 1
             if global_step % 20 == 0:
                 logger.log(

@@ -246,6 +246,69 @@ def train_step(
     )
 
 
+def grad_step(
+    state: TrainState,
+    inp: ModelInput,
+    targets: TargetBundle,
+    rng: jax.Array,
+    *,
+    net: PaSCoNet,
+    labelweights: Dict[int, jnp.ndarray],
+    class_weight: jnp.ndarray,
+    cfg: PaSCoConfig,
+    is_predict_panop: bool = True,
+):
+    """One scene's gradients WITHOUT the optimizer update — the
+    microbatch unit of gradient accumulation.  The reference's effective
+    batch is ``bs=2 x 2 GPUs`` (``scripts/train.py:213,230``,
+    ``README.md:340``); on one chip that batch is reproduced by
+    accumulating ``accum_steps`` scene gradients before each update
+    (``training/loop.py``).  Returns ``(grads, logs, new_batch_stats)``.
+    """
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        total, logs, mutated = compute_losses(
+            net, variables, inp, targets, labelweights, class_weight, cfg,
+            {"dropout": rng, "sample": jax.random.fold_in(rng, 1)},
+            train=True, is_predict_panop=is_predict_panop,
+        )
+        return total, (logs, mutated.get("batch_stats", state.batch_stats))
+
+    (_, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    return grads, logs, new_bs
+
+
+def accumulate_grads(acc, grads):
+    """Running sum of gradient pytrees (jitted by the caller)."""
+    if acc is None:
+        return grads
+    return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+
+def apply_grads(
+    state: TrainState,
+    grads,
+    n_accum: int,
+    *,
+    tx,
+) -> TrainState:
+    """Optimizer update from accumulated gradients (mean over the
+    window, matching Lightning's ``accumulate_grad_batches`` semantics)."""
+    import optax
+
+    grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(
+        params=new_params,
+        batch_stats=state.batch_stats,
+        opt_state=new_opt,
+        step=state.step + 1,
+    )
+
+
 def eval_step(
     variables,
     inp: ModelInput,

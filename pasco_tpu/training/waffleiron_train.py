@@ -234,6 +234,107 @@ class Voxelize:
         return pcloud[first], labels[first]
 
 
+class InstanceCutMix:
+    """Training-time instance bank + paste augmentation (reference
+    ``WaffleIron_mod/datasets/semantic_kitti.py:27-152``).
+
+    First pass over the dataset ``cut``s rare-thing instances (bicycle 1,
+    motorcycle 2, person 5, bicyclist 6 in WaffleIron train ids) out of
+    every scan — centered on their xy-mean / z-min — into a per-class
+    bank (in-memory, optionally mirrored to ``rootdir`` as ``.bin`` files
+    like the reference's temp dir).  Once the bank is loaded, ``mix``
+    pastes up to ``num_to_add`` augmented (flip/rotate/scale) instances
+    per class onto random drivable-surface points (classes 8-10:
+    road/parking/sidewalk), each at least 1 m apart (1 m random voxel
+    downsample of the candidate surface).
+    """
+
+    BANK_CLASSES = (1, 2, 5, 6)
+    SURFACE = (8, 10)                # road..sidewalk (inclusive)
+
+    def __init__(self, rootdir: str = "", num_to_add: int = 40, rng=None):
+        self.rootdir = rootdir
+        self.num_to_add = num_to_add
+        self.rng = rng or np.random.RandomState(0)
+        self.bank = {c: [] for c in self.BANK_CLASSES}
+        self.loaded = False
+        self.aug = Compose(
+            (
+                FlipXY(rng=self.rng),
+                Rotation(rng=self.rng),
+                Scale(dims=(0, 1, 2), range=0.1, rng=self.rng),
+            )
+        )
+        self.vox = Voxelize(
+            dims=(0, 1, 2), voxel_size=1.0, random=True, rng=self.rng
+        )
+        if rootdir and os.path.isdir(rootdir):
+            import glob as _glob
+
+            for c in self.BANK_CLASSES:
+                for f in sorted(_glob.glob(os.path.join(rootdir, str(c), "*.bin"))):
+                    self.bank[c].append(
+                        np.fromfile(f, dtype=np.float32).reshape(-1, 4)
+                    )
+            self.loaded = any(len(v) for v in self.bank.values())
+
+    def finalize_bank(self):
+        self.loaded = True
+
+    def cut(self, pc, class_label, instance_label):
+        """Harvest instances from one scan into the bank
+        (reference ``:99-117``; instances of <= 5 points skipped)."""
+        for c in self.BANK_CLASSES:
+            for iid in np.unique(instance_label[class_label == c]):
+                where = instance_label == iid
+                if where.sum() <= 5:
+                    continue
+                inst = pc[where].astype(np.float32).copy()
+                inst[:, :2] -= inst[:, :2].mean(0, keepdims=True)
+                inst[:, 2] -= inst[:, 2].min(0, keepdims=True)
+                self.bank[c].append(inst)
+                if self.rootdir:
+                    d = os.path.join(self.rootdir, str(c))
+                    os.makedirs(d, exist_ok=True)
+                    inst.tofile(
+                        os.path.join(d, f"{len(self.bank[c]) - 1:07d}.bin")
+                    )
+
+    def mix(self, pc, class_label):
+        """Paste augmented bank instances onto drivable surface points
+        (reference ``:119-147``)."""
+        pc_vox, lab_vox = self.vox(pc, class_label)
+        surf = np.where(
+            (lab_vox >= self.SURFACE[0]) & (lab_vox <= self.SURFACE[1])
+        )[0]
+        surf = surf[self.rng.permutation(len(surf))]
+        new_pc, new_label = [pc], [class_label]
+        id_tot = 0
+        for c in self.BANK_CLASSES:
+            if not self.bank[c]:
+                continue
+            n_add = int(self.rng.randint(self.num_to_add))
+            for _ in range(n_add):
+                if id_tot >= len(surf):
+                    break
+                p = pc_vox[surf[id_tot]]
+                obj = self.bank[c][int(self.rng.randint(len(self.bank[c])))]
+                lab = np.full((obj.shape[0],), c, class_label.dtype)
+                obj, lab = self.aug(obj.copy(), lab)
+                obj[:, :3] += p[:3][None]
+                new_pc.append(obj)
+                new_label.append(lab)
+                id_tot += 1
+        return np.concatenate(new_pc, 0), np.concatenate(new_label, 0)
+
+    def __call__(self, pc, class_label, instance_label=None):
+        if not self.loaded:
+            if instance_label is not None:
+                self.cut(pc, class_label, instance_label)
+            return None, None
+        return self.mix(pc, class_label)
+
+
 # ---------------------------------------------------------------------------
 # Batch assembly (reference datasets/pc_dataset.py:213-285, zero-padded)
 # ---------------------------------------------------------------------------

@@ -69,7 +69,12 @@ def main():
         state = restored
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    fwd = jax.jit(lambda v, i: net.apply(v, i, lw, train=False))
+    # Scene-adaptive working box: each scan dispatches to the
+    # smallest pre-compiled box program covering its bbox
+    # (pasco_tpu/inference/dispatch.py).
+    from pasco_tpu.inference.dispatch import AdaptiveForward
+
+    fwd = AdaptiveForward(cfg, lw)
     evaluator = Evaluator(cfg)
     n = len(ds) if not args.limit_batches else min(len(ds), args.limit_batches)
     for i in range(n):

@@ -69,7 +69,12 @@ def main():
     if restored is not None:
         state = restored
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd = jax.jit(lambda v, i: net.apply(v, i, lw, train=False))
+    # Scene-adaptive working box: each scan dispatches to the
+    # smallest pre-compiled box program covering its bbox
+    # (pasco_tpu/inference/dispatch.py).
+    from pasco_tpu.inference.dispatch import AdaptiveForward
+
+    fwd = AdaptiveForward(cfg, lw)
 
     os.makedirs(args.output_dir, exist_ok=True)
     frames = [int(f) for f in (args.frames or range(min(10, len(ds))))]

@@ -58,6 +58,10 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--limit_train_batches", type=int, default=None)
     p.add_argument("--limit_val_batches", type=int, default=None)
+    # reference --accum_batch (scripts/train.py:62,203)
+    p.add_argument("--accum_batch", type=int, default=1)
+    # reference --n_fuse_scans (scripts/train.py:63,142)
+    p.add_argument("--n_fuse_scans", type=int, default=1)
     args = p.parse_args()
 
     from pasco_tpu.core.config import (
@@ -111,6 +115,7 @@ def main():
             args.translate_distance, args.translate_distance,
             args.translate_distance / 2,
         ),
+        n_fuse_scans=args.n_fuse_scans,
         seed=args.seed,
     )
     val_ds = KittiDataset(
@@ -133,6 +138,7 @@ def main():
         seed=args.seed,
         limit_train_batches=args.limit_train_batches,
         limit_val_batches=args.limit_val_batches,
+        accum_steps=args.accum_batch,
     )
 
 

@@ -38,6 +38,7 @@ def _flatten(tree, prefix=()):
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_infers", [1, 2])
 def test_converter_matches_dense_tree(n_infers):
     from tests.test_model_forward import labelweights, make_input
@@ -85,6 +86,7 @@ def test_converter_matches_dense_tree(n_infers):
         assert got_s[k].shape == want_s[k].shape
 
 
+@pytest.mark.slow
 def test_converted_tree_runs_forward():
     """Converted weights must be directly loadable into apply()."""
     from tests.test_model_forward import labelweights, make_input

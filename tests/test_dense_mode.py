@@ -139,6 +139,7 @@ def test_extract_sparse_roundtrip():
     assert np.allclose(got, want)
 
 
+@pytest.mark.slow
 def test_dense_forward_and_train():
     cfg = tiny_config(n_infers=1)
     net = DensePaSCoNet(cfg)
@@ -319,6 +320,7 @@ def test_mask_mul_and_blockdiag_z2():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_z_pack_model_equivalence():
     """z_pack=True/False share one parameter tree and must agree
     numerically (f32 compute to avoid bf16 reduction-order noise)."""

@@ -14,6 +14,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pasco_tpu.core.config import TransformerConfig, tiny_config
 from pasco_tpu.models.unet import build_net
@@ -42,6 +43,7 @@ def _flat_sum(out):
     return float(sum(leaves))
 
 
+@pytest.mark.slow
 def test_train_mode_dropout_is_stochastic():
     cfg = _dropout_cfg()
     net = build_net(cfg)
@@ -70,6 +72,7 @@ def test_train_mode_dropout_is_stochastic():
     assert a != b, "different dropout rngs must give different train outputs"
 
 
+@pytest.mark.slow
 def test_eval_deterministic_and_mc_dropout_varies():
     cfg = _dropout_cfg()
     net = build_net(cfg)
@@ -103,6 +106,7 @@ def test_eval_deterministic_and_mc_dropout_varies():
     assert m1 != e1 or m2 != e1
 
 
+@pytest.mark.slow
 def test_zero_rates_add_no_dropout_params():
     """The released recipe (all spatial rates 0) must produce the exact
     same param tree as before the dropout wiring — checkpoint parity."""

@@ -133,6 +133,7 @@ def test_batch_costs_match_elementwise():
             assert abs(f - fc[qi, ti]) < 1e-5
 
 
+@pytest.mark.slow
 def test_jax_hungarian_matches_scipy():
     from scipy.optimize import linear_sum_assignment as slsa
 

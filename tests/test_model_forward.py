@@ -41,6 +41,7 @@ def labelweights(cfg):
     return {1: w, 2: w, 4: w}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_infers", [1, 2])
 def test_forward_shapes(n_infers):
     cfg = tiny_config(n_infers=n_infers)
@@ -69,6 +70,7 @@ def test_forward_shapes(n_infers):
             assert jnp.all(jnp.isfinite(leaf)), "non-finite output"
 
 
+@pytest.mark.slow
 def test_forward_train_mode_with_sampling():
     cfg = tiny_config(n_infers=2)
     net = PaSCoNet(cfg)
@@ -91,6 +93,7 @@ def test_forward_train_mode_with_sampling():
     assert out.predictor is not None
 
 
+@pytest.mark.slow
 def test_forward_jit_compiles_once():
     cfg = tiny_config(n_infers=1)
     net = PaSCoNet(cfg)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles
+
 import jax
 
 
@@ -26,3 +28,89 @@ def test_mesh_helpers():
     mesh = make_mesh(min(2, len(jax.devices())))
     x = replicate_to_mesh({"a": np.ones((4, 4))}, mesh)
     assert np.allclose(np.asarray(x["a"]), 1.0)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 virtual devices"
+)
+def test_dp_update_matches_single_device():
+    """DP over 4 copies of ONE scene with shared rng == the single-device
+    train step: pmean of identical gradients is the gradient, so the
+    updated parameters must agree to float tolerance (the scaling assert
+    — cross-replica BN reduces to per-scene BN for identical scenes)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from pasco_tpu.core.config import tiny_config
+    from pasco_tpu.data.semantic_kitti.collate import collate
+    from pasco_tpu.data.semantic_kitti.dataset import process_scene
+    from pasco_tpu.data.synthetic import make_scene
+    from pasco_tpu.models.unet import build_net
+    from pasco_tpu.parallel.mesh import (
+        dp_train_step, make_mesh, replicate_to_mesh, shard_batch_to_mesh,
+        stack_scenes)
+    from pasco_tpu.training.step import (
+        class_weight_vector, create_train_state, labelweights_for,
+        scene_to_model_input, targets_to_device, train_step)
+
+    cfg = tiny_config(n_infers=1)
+    net = build_net(cfg)
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    lw = labelweights_for(cfg, freqs)
+    cw = jnp.asarray(
+        class_weight_vector(cfg.model.n_classes, cfg.loss.no_object_weight)
+    )
+    rng = np.random.RandomState(0)
+    scene = collate(
+        [
+            process_scene(
+                make_scene(
+                    rng, scene_size=cfg.scene.scene_size, n_points=1200,
+                    point_feat_dim=cfg.model.in_channels - 6, n_things=3,
+                ),
+                None, rng,
+            )
+        ],
+        cfg, max_targets=32,
+    )
+
+    state, tx = create_train_state(
+        net, cfg, scene_to_model_input(scene), lw, jax.random.PRNGKey(0)
+    )
+
+    # single-device reference update
+    key = jax.random.PRNGKey(7)
+    ref_state, ref_logs = jax.jit(
+        partial(
+            train_step, net=net, tx=tx, labelweights=lw, class_weight=cw,
+            cfg=cfg,
+        )
+    )(state, scene_to_model_input(scene),
+      targets_to_device(scene.targets), key)
+
+    # DP over 4 identical scenes, shared rng
+    mesh = make_mesh(4)
+    inp, tgt = stack_scenes([scene] * 4)
+    inp = shard_batch_to_mesh(inp, mesh)
+    tgt = shard_batch_to_mesh(tgt, mesh)
+    dstate = replicate_to_mesh(state, mesh)
+    dp_state, dp_logs = jax.jit(
+        partial(
+            dp_train_step, mesh=mesh, net=net, tx=tx, labelweights=lw,
+            class_weight=cw, cfg=cfg, fold_axis_rng=False,
+        )
+    )(dstate, inp, tgt, key)
+
+    # The single-device step splits its key differently from dp's device
+    # path only through fold_in(state.step) — both fold step 0.  Compare
+    # losses and updated params.
+    np.testing.assert_allclose(
+        float(dp_logs["total_loss"]), float(ref_logs["total_loss"]),
+        rtol=2e-4,
+    )
+    ref_flat, _ = jax.flatten_util.ravel_pytree(ref_state.params)
+    dp_flat, _ = jax.flatten_util.ravel_pytree(dp_state.params)
+    np.testing.assert_allclose(
+        np.asarray(dp_flat), np.asarray(ref_flat), rtol=2e-3, atol=2e-5,
+    )

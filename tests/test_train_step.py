@@ -26,6 +26,7 @@ def build_batch(cfg, n_infers, seed=0):
     return collate(subnets, cfg, max_targets=32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_infers", [1, 2])
 def test_train_step_decreases_loss(n_infers):
     import dataclasses
@@ -65,6 +66,7 @@ def test_train_step_decreases_loss(n_infers):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_eval_forward_on_synthetic():
     cfg = tiny_config(n_infers=1)
     net = PaSCoNet(cfg)

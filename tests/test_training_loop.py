@@ -10,6 +10,7 @@ from pasco_tpu.data.synthetic import SyntheticKittiDataset
 from pasco_tpu.training.loop import train
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     cfg = tiny_config(n_infers=1)
     ds = SyntheticKittiDataset(
@@ -48,6 +49,7 @@ def test_train_loop_end_to_end(tmp_path):
     assert "pq_dagger_all" in lines or "epoch" in lines
 
 
+@pytest.mark.slow
 def test_train_loop_crop_box(tmp_path):
     """Training on a smaller crop box than validation (the flagship memory
     recipe): params are box-independent, so the same state must train at
@@ -86,3 +88,34 @@ def test_train_loop_crop_box(tmp_path):
         limit_val_batches=1,
     )
     assert int(state.step) == 1
+
+
+@pytest.mark.slow
+def test_train_loop_grad_accumulation(tmp_path):
+    """accum_steps=2: two scenes per optimizer update (the reference's
+    effective-batch recipe); one epoch over 4 scenes -> 2 updates."""
+    cfg = tiny_config(n_infers=1)
+    ds = SyntheticKittiDataset(
+        n_scenes=4,
+        n_subnets=1,
+        scene_size=cfg.scene.scene_size,
+        n_points=1200,
+        point_feat_dim=cfg.model.in_channels - 6,
+    )
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    state = train(
+        cfg,
+        ds,
+        val_dataset=None,
+        n_epochs=1,
+        log_dir=str(tmp_path / "run"),
+        class_frequencies=freqs,
+        limit_train_batches=4,
+        accum_steps=2,
+    )
+    assert int(state.step) == 2   # 4 scenes / accum 2
+    flat = np.concatenate(
+        [np.ravel(np.asarray(x)) for x in
+         __import__("jax").tree_util.tree_leaves(state.params)]
+    )
+    assert np.isfinite(flat).all()

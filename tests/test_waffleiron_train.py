@@ -1,6 +1,7 @@
 """WaffleIron training harness: loss/metrics/schedule/step/trainer."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -105,6 +106,7 @@ def test_transforms_shapes_and_semantics():
     assert pc2.shape[1] == pc.shape[1]
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_and_trainer_roundtrip(tmp_path):
     r = np.random.RandomState(2)
     net = _tiny_net()
@@ -140,3 +142,43 @@ def test_train_step_decreases_loss_and_trainer_roundtrip(tmp_path):
     step_before = int(trainer.state.step)
     trainer.load_state()
     assert int(trainer.state.step) == step_before
+
+
+def test_instance_cutmix_bank_and_mix():
+    """InstanceCutMix (reference semantic_kitti.py:27-152): cut pass
+    harvests centered instances; mix pass pastes them on surface points."""
+    from pasco_tpu.training.waffleiron_train import InstanceCutMix
+
+    rng = np.random.RandomState(0)
+    cm = InstanceCutMix(num_to_add=5, rng=rng)
+
+    # Scan: a road plane (class 8) + one 10-point person instance (class 5).
+    road = np.concatenate(
+        [rng.uniform(-20, 20, (300, 2)), np.zeros((300, 1)),
+         rng.rand(300, 1)], axis=1
+    ).astype(np.float32)
+    person = np.concatenate(
+        [rng.uniform(4, 5, (10, 2)), rng.uniform(0, 1.8, (10, 1)),
+         rng.rand(10, 1)], axis=1
+    ).astype(np.float32)
+    pc = np.concatenate([road, person], 0)
+    labels = np.concatenate(
+        [np.full(300, 8, np.int32), np.full(10, 5, np.int32)]
+    )
+    inst = np.concatenate([np.zeros(300, np.int32), np.full(10, 7, np.int32)])
+
+    out, _ = cm(pc, labels, inst)   # bank-building pass
+    assert out is None
+    assert len(cm.bank[5]) == 1
+    # centered: xy mean ~0, z min == 0
+    b = cm.bank[5][0]
+    np.testing.assert_allclose(b[:, :2].mean(0), 0, atol=1e-5)
+    assert abs(b[:, 2].min()) < 1e-6
+
+    cm.finalize_bank()
+    mixed_pc, mixed_lab = cm(pc, labels)
+    assert mixed_pc.shape[0] >= pc.shape[0]
+    added = mixed_pc.shape[0] - pc.shape[0]
+    assert added % 10 == 0   # whole person instances pasted
+    if added:
+        assert (mixed_lab == 5).sum() == 10 + added
