@@ -292,6 +292,10 @@ class DenseResBlock(nn.Module):
     #                            block masks internally — skip the output
     #                            pass too (stage-interior blocks, and all
     #                            decoder blocks: heads/extraction re-mask)
+    fused_plan: Optional[Tuple[int, int, bool, bool]] = None
+    #                            conv_plan tuple for the fused path; a
+    #                            static attribute (NOT part of fused_ctx)
+    #                            so nn.remat never traces it
 
     @nn.compact
     def __call__(self, x, mask, train, fused_ctx=None):
@@ -345,6 +349,7 @@ class DenseResBlock(nn.Module):
         from pasco_tpu.ops.pallas_conv import fused_packed_conv
 
         m8, ids, n_act = fused_ctx
+        plan = self.fused_plan
         cd = self.compute_dtype
         a1, c1 = DenseBN(self.axis_name, packed=True, name="bn1")(
             xpad, mask, train, affine_only=True
@@ -354,7 +359,7 @@ class DenseResBlock(nn.Module):
         )(xpad, mask, params_only=True)
         f = fused_packed_conv(
             xpad, w1, m8, ids, n_act, affine=(a1, c1), relu=True, bias=b1,
-            out_padded=True, compute_dtype=cd,
+            out_padded=True, compute_dtype=cd, plan=plan,
         )
         a2, c2 = DenseBN(self.axis_name, packed=True, name="bn2")(
             f, mask, train, affine_only=True
@@ -364,7 +369,7 @@ class DenseResBlock(nn.Module):
         )(f, mask, params_only=True)
         return fused_packed_conv(
             f, w2, m8, ids, n_act, affine=(a2, c2), relu=True, bias=b2,
-            skip=xpad, out_padded=True, compute_dtype=cd,
+            skip=xpad, out_padded=True, compute_dtype=cd, plan=plan,
         )
 
 
@@ -439,17 +444,22 @@ class DenseEncStage(nn.Module):
         )
         if fused:
             from pasco_tpu.ops.pallas_conv import (
-                active_tiles_xy, pad_stage, stage_mask8, unpad_stage)
+                active_tiles_xy, conv_plan, pad_stage, stage_mask8,
+                unpad_stage)
 
+            plan = conv_plan(
+                x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True
+            )
             ctx = (
                 stage_mask8(mask, x.shape[-1]),
-                *active_tiles_xy(jnp.any(mask, axis=1), 8, 16),
+                *active_tiles_xy(jnp.any(mask, axis=1), plan[0], plan[1]),
             )
             xpad = pad_stage(x)
             for i in range(self.n_res):
                 xpad = Block(
                     self.out_channels, self.axis_name, self.compute_dtype,
-                    packed=True, pallas=True, name=f"res{i}",
+                    packed=True, pallas=True, fused_plan=plan,
+                    name=f"res{i}",
                 )(xpad, mask, train, ctx)
             # stage-final mask: the next stage's XLA down conv reads every
             # cell, so empties must be exact zeros.
@@ -550,17 +560,21 @@ class DenseDecoderStage(nn.Module):
         )
         if fused:
             from pasco_tpu.ops.pallas_conv import (
-                active_tiles_xy, pad_stage, stage_mask8, unpad_stage)
+                active_tiles_xy, conv_plan, pad_stage, stage_mask8,
+                unpad_stage)
 
+            plan = conv_plan(
+                x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True
+            )
             ctx = (
                 stage_mask8(msk, x.shape[-1]),
-                *active_tiles_xy(jnp.any(msk, axis=1), 8, 16),
+                *active_tiles_xy(jnp.any(msk, axis=1), plan[0], plan[1]),
             )
             xpad = pad_stage(x)
             for ri in range(self.n_res):
                 xpad = Block(
                     ch, self.axis_name, cd, packed=True, pallas=True,
-                    name=f"res{ri}",
+                    fused_plan=plan, name=f"res{ri}",
                 )(xpad, msk, train, ctx)
             # Decoder output needs no mask (heads/extraction re-mask).
             x = unpad_stage(xpad)
@@ -586,42 +600,73 @@ class DenseDecoderStage(nn.Module):
         bh = self.param(
             "head_bias", nn.initializers.zeros, (self.n_infers, self.n_classes)
         )
+        S, K = self.n_infers, self.n_classes
         # bf16 operands + f32 accumulation: avoids materialising an f32
         # copy of the full-scale feature volume just for the head einsum.
         whx = wh.astype(x.dtype)
-        if pk:
-            # einsum accumulates f32 but rounds to bf16 (with the bias)
-            # BEFORE the stack/reshape relayout: the [X, Z, Y, S, K] f32
-            # intermediate was ~320 MB of pure relayout traffic.
-            bhx = bh[None, None, None].astype(jnp.float32)
-            sem_lo = (
-                jnp.einsum(
-                    "xtyc,sck->xtysk", x[..., :ch], whx,
-                    preferred_element_type=jnp.float32,
-                )
-                + bhx
-            ).astype(jnp.bfloat16)
-            sem_hi = (
-                jnp.einsum(
-                    "xtyc,sck->xtysk", x[..., ch:], whx,
-                    preferred_element_type=jnp.float32,
-                )
-                + bhx
-            ).astype(jnp.bfloat16)
-            X_, T_, Y_ = sem_lo.shape[0], sem_lo.shape[1], sem_lo.shape[2]
-            sem = jnp.stack([sem_lo, sem_hi], axis=2).reshape(
-                X_, 2 * T_, Y_, self.n_infers, self.n_classes
+
+        def reduce_sem(sem_f32):
+            """(argmax class, its softmax prob) over the class axis."""
+            tc = jnp.argmax(sem_f32, axis=-1).astype(jnp.int32)
+            tp = jnp.exp(
+                jnp.max(sem_f32, axis=-1)
+                - jax.nn.logsumexp(sem_f32, axis=-1)
             )
+            return tc, tp.astype(jnp.bfloat16)
+
+        if pk:
+            # ONE block-diagonal head dot producing sem directly in the
+            # packed layout [X, T, Y, S*K | S*K] (lo | hi slot halves) and
+            # in bf16.  The previous form — two f32 einsums with K=20
+            # lanes (padded 6.4x to the 128-lane tile) plus an interleave
+            # stack/reshape — cost ~13 ms/scale in relayout HBM traffic;
+            # the packed sem also rides the feature gather in extraction
+            # (extract_sparse_z2 extra_packed) instead of its own per-row
+            # gather.
+            w_flat = whx.transpose(1, 0, 2).reshape(ch, S * K)   # [ch, SK]
+            wbd = blockdiag2_weight(w_flat)                      # [2ch, 2SK]
+            b2 = jnp.tile(bh.reshape(-1), 2).astype(jnp.float32)
+            X_, T_, Y_ = x.shape[0], x.shape[1], x.shape[2]
+            sem = (
+                (
+                    jnp.einsum(
+                        "xtyc,cd->xtyd", x, wbd,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + b2[None, None, None]
+                ).astype(jnp.bfloat16)
+            )                                                    # [X,T,Y,2SK]
+            sem_v = sem.reshape(X_, T_, Y_, 2, S, K).astype(jnp.float32)
+            tc, tp = reduce_sem(sem_v)                           # [X,T,Y,2,S]
+            top_class = tc.transpose(0, 1, 3, 2, 4).reshape(
+                X_, 2 * T_, Y_, S
+            )
+            top_prob = tp.transpose(0, 1, 3, 2, 4).reshape(
+                X_, 2 * T_, Y_, S
+            )
+            sem = _mm(sem, msk, True)
+            top_class = jnp.where(msk[..., None], top_class, 0)
+            top_prob = jnp.where(msk[..., None], top_prob, 0)
         else:
             sem = (
-                jnp.einsum(
-                    "xyzc,sck->xyzsk", x, whx,
-                    preferred_element_type=jnp.float32,
+                (
+                    jnp.einsum(
+                        "xyzc,sck->xyzsk", x, whx,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bh[None, None, None]
                 )
-                + bh[None, None, None]
+                .astype(jnp.bfloat16)
             )
-        sem = jnp.where(msk[..., None, None], sem, 0)
-        return x, sem.astype(jnp.bfloat16), msk
+            # Reduce from the bf16-ROUNDED logits (matching the packed
+            # path, whose sem is stored bf16): keeps argmax tie-breaks —
+            # and therefore the extraction sets — identical across the
+            # packed/unpacked formulations.
+            top_class, top_prob = reduce_sem(sem.astype(jnp.float32))
+            sem = jnp.where(msk[..., None, None], sem, 0)
+            top_class = jnp.where(msk[..., None], top_class, 0)
+            top_prob = jnp.where(msk[..., None], top_prob, 0)
+        return x, sem, top_class, top_prob, msk
 
 
 class DenseVoxelFeatsRefiner(nn.Module):
@@ -645,38 +690,25 @@ class DenseVoxelFeatsRefiner(nn.Module):
     pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, keep, train):
-        # Fused chain at inference: conv1 with a mask-only prologue, the
-        # BN affine + relu as conv2's prologue, keep-based active tiles
-        # (keep is the subnet's pruned set — sparser than the stage mask).
-        if (
-            self.pallas and self.packed and not train
-            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
-        ):
-            from pasco_tpu.ops.pallas_conv import (
-                active_tiles_xy, fused_packed_conv, pad_stage, stage_mask8)
-
-            m8 = stage_mask8(keep, x.shape[-1])
-            ids, n_act = active_tiles_xy(jnp.any(keep, axis=1), 8, 16)
+    def __call__(self, x, keep, train, params_only=False):
+        if params_only:
+            # Fused-chain driver path: hand back this subnet's parameters
+            # (conv taps + inference BN affine) so the caller can run the
+            # per-subnet fused Pallas chain OUTSIDE nn.vmap — the
+            # scalar-prefetch kernels do not vmap, which round 1 worked
+            # around by restricting the fused refiner to S == 1.
             w1, _ = DenseConv(
                 self.channels, 3, use_bias=False,
                 compute_dtype=self.compute_dtype, packed=True, name="conv1",
             )(x, keep, params_only=True)
-            g = fused_packed_conv(
-                pad_stage(x), w1, m8, ids, n_act, out_padded=True,
-                compute_dtype=self.compute_dtype,
-            )
             a, c = DenseBN(self.axis_name, packed=True, name="bn")(
-                g, keep, train, affine_only=True
+                x, keep, train, affine_only=True
             )
             w2, b2 = DenseConv(
                 self.channels, 3, compute_dtype=self.compute_dtype,
                 packed=True, name="conv2",
-            )(g, keep, params_only=True)
-            return fused_packed_conv(
-                g, w2, m8, ids, n_act, affine=(a, c), relu=True, bias=b2,
-                out_padded=False, compute_dtype=self.compute_dtype,
-            )
+            )(x, keep, params_only=True)
+            return w1, a, c, w2, b2
         # Packed: both convs mask their inputs inside the shifted build and
         # the output feeds extraction only (a gather of kept cells), so no
         # standalone mask passes are needed.
@@ -697,6 +729,28 @@ class DenseVoxelFeatsRefiner(nn.Module):
             packed=self.packed, mask_input=lean, mask_output=not lean,
             use_pallas=self.pallas, name="conv2",
         )(g, keep)
+
+
+def fused_refine_one(x, keep, w1, aff, w2, b2, cd):
+    """One subnet's refiner as a fused Pallas chain: conv1 with a
+    mask-only prologue, the BN affine + relu as conv2's prologue,
+    keep-based active tiles (keep is the subnet's pruned set — sparser
+    than the stage mask)."""
+    from pasco_tpu.ops.pallas_conv import (
+        active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
+        stage_mask8)
+
+    plan = conv_plan(x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True)
+    m8 = stage_mask8(keep, x.shape[-1])
+    ids, n_act = active_tiles_xy(jnp.any(keep, axis=1), plan[0], plan[1])
+    g = fused_packed_conv(
+        pad_stage(x), w1, m8, ids, n_act, out_padded=True, compute_dtype=cd,
+        plan=plan,
+    )
+    return fused_packed_conv(
+        g, w2, m8, ids, n_act, affine=aff, relu=True, bias=b2,
+        out_padded=False, compute_dtype=cd, plan=plan,
+    )
 
 
 class PointMLP(nn.Module):
@@ -877,10 +931,11 @@ class DensePaSCoNet(nn.Module):
         dense_keep: Dict[int, jnp.ndarray] = {}
         dense_feats: Dict[int, jnp.ndarray] = {}
 
+        dense_top: Dict[int, jnp.ndarray] = {}
         dec_n_res = 7 if m.heavy_decoder else 3
         for i, scale in enumerate((4, 2, 1)):
             ch = dec_ch[i + 1]
-            x, sem, msk = DenseDecoderStage(
+            x, sem, top_class, top_prob, msk = DenseDecoderStage(
                 ch, S, m.n_classes, dec_n_res, scale, self.axis_name, cd,
                 m.remat,
                 in_packed=(scale * 2) in packed_scales,
@@ -892,16 +947,16 @@ class DensePaSCoNet(nn.Module):
                 x, parent_keep, enc[scale][0], box,
                 inp.global_min, inp.global_max, train, drop_on,
             )
-            top_class = jnp.argmax(sem, axis=-1)              # [X,Y,Z,S]
+            # top_class/top_prob are logical [X, Z, Y, S]; sem stays in the
+            # packed slot-concat layout for packed scales.
             keep = jnp.any(top_class != 0, axis=-1) & msk
             if train:
                 # Reference train-time voxel cap (decoder_v3.py:347-377):
                 # weighted multinomial sampling == Gumbel-top-k on the best
                 # subnet's (max prob x class weight); capped keep feeds the
                 # next decoder stage and the extractions.
-                probs = jax.nn.softmax(sem.astype(jnp.float32), axis=-1)
                 w = compl_labelweights.get(scale)
-                tp = jnp.max(probs, axis=-1)                  # [X,Y,Z,S]
+                tp = top_prob.astype(jnp.float32)             # [X,Z,Y,S]
                 if w is not None:
                     tp = tp * w[top_class]
                 score = jnp.max(tp * (top_class != 0), axis=-1)
@@ -910,23 +965,38 @@ class DensePaSCoNet(nn.Module):
                     self.make_rng("sample"),
                 )
             dense_sem[scale] = sem
+            dense_top[scale] = top_class
             dense_keep[scale] = keep
             dense_feats[scale] = x
 
+            # Aux sem logits at scales 2/4 feed the multiscale completion
+            # loss only; at inference only scale 1 is consumed (semantic
+            # ensembling) — skip the payload gathers for the others.
+            need_extra = train or scale == 1
             if scale in packed_scales:
                 grid, extra = extract_sparse_z2(
                     x, keep, box, scale, cap.dec_capacity(scale),
-                    extra=sem.reshape(*sem.shape[:3], S * m.n_classes),
+                    extra=sem if need_extra else None, extra_packed=True,
                 )
             else:
                 grid, extra = extract_sparse(
                     x, keep, box, scale, cap.dec_capacity(scale),
-                    extra=sem.reshape(*sem.shape[:3], S * m.n_classes),
+                    extra=(
+                        sem.reshape(*sem.shape[:3], S * m.n_classes)
+                        if need_extra
+                        else None
+                    ),
                     axis_order=ORDER,
                 )
             xs[scale] = grid
-            sem_at[scale] = extra.astype(jnp.float32).reshape(
-                cap.dec_capacity(scale), S, m.n_classes
+            sem_at[scale] = (
+                extra.astype(jnp.float32).reshape(
+                    cap.dec_capacity(scale), S, m.n_classes
+                )
+                if extra is not None
+                else jnp.zeros(
+                    (cap.dec_capacity(scale), S, m.n_classes), jnp.float32
+                )
             )
             parent_keep = keep
 
@@ -936,11 +1006,12 @@ class DensePaSCoNet(nn.Module):
         if is_predict_panop:
             for scale in (4, 2, 1):
                 sem = dense_sem[scale]
+                top_class = dense_top[scale]
                 xdense = dense_feats[scale]
                 pcap = cap.panop_capacity(scale)
                 keep_stack = jnp.stack(
                     [
-                        (jnp.argmax(sem[..., s, :], -1) != 0)
+                        (top_class[..., s] != 0)
                         & bbox_mask(
                             box, scale, inp.subnet_min[s], inp.subnet_max[s],
                             ORDER,
@@ -950,7 +1021,7 @@ class DensePaSCoNet(nn.Module):
                     ]
                 )                                             # [S, X, Z, Y]
                 RefBase = (
-                    nn.remat(DenseVoxelFeatsRefiner, static_argnums=(3,))
+                    nn.remat(DenseVoxelFeatsRefiner, static_argnums=(3, 4))
                     if m.remat
                     else DenseVoxelFeatsRefiner
                 )
@@ -958,9 +1029,17 @@ class DensePaSCoNet(nn.Module):
                 ch_s = (
                     xdense.shape[-1] // 2 if pscale else xdense.shape[-1]
                 )
-                refined = nn.vmap(
+                # The scalar-prefetch Pallas kernels do not vmap, so the
+                # vmapped module always runs the XLA formulation; the fused
+                # inference path instead pulls the stacked per-subnet
+                # params out and drives one fused chain per subnet below.
+                fused_ref = (
+                    pallas and pscale and not train
+                    and xdense.shape[0] % 8 == 0 and xdense.shape[2] % 16 == 0
+                )
+                ref_mod = nn.vmap(
                     RefBase,
-                    in_axes=(None, 0, None),
+                    in_axes=(None, 0, None, None),
                     out_axes=0,
                     variable_axes={"params": 0, "batch_stats": 0},
                     split_rngs={"params": True, "dropout": True},
@@ -969,30 +1048,63 @@ class DensePaSCoNet(nn.Module):
                     axis_name=self.axis_name,
                     compute_dtype=cd,
                     packed=pscale,
-                    # the refiner is vmapped over subnets; the prefetch-grid
-                    # pallas kernel is only used when that axis is trivial
-                    pallas=pallas and pscale and S == 1,
+                    pallas=False,
                     name=f"voxel_feats_s{scale}",
-                )(xdense, keep_stack, train)                  # [S, X, Z, Y, C]
+                )
+                if fused_ref:
+                    w1s, a_s, c_s, w2s, b2s = ref_mod(
+                        xdense, keep_stack, train, True
+                    )
+                    refined = jnp.stack(
+                        [
+                            fused_refine_one(
+                                xdense, keep_stack[s], w1s[s],
+                                (a_s[s], c_s[s]), w2s[s], b2s[s], cd,
+                            )
+                            for s in range(S)
+                        ]
+                    )                                         # [S, X, Z, Y, C]
+                else:
+                    refined = ref_mod(xdense, keep_stack, train, False)
+                K = m.n_classes
+                # Pruned per-subnet sem logits feed the criterion's
+                # semantic-inference aux loss only — inference reads the
+                # transformer outputs + the scale-1 completion logits, so
+                # the extra gathers are train-only.
+                need_extra = train and scale == 1
                 sub_grids, sub_sems = [], []
                 for s in range(S):
                     if pscale:
+                        # per-subnet packed sem slice [X, T, Y, K | K]
+                        sem_s = None
+                        if need_extra and S == 1:
+                            sem_s = sem
+                        elif need_extra:
+                            sem_s = jnp.concatenate(
+                                [
+                                    sem[..., s * K : (s + 1) * K],
+                                    sem[..., S * K + s * K : S * K + (s + 1) * K],
+                                ],
+                                axis=-1,
+                            )
                         g, e = extract_sparse_z2(
                             refined[s], keep_stack[s], box, scale, pcap,
-                            extra=sem[..., s, :],
+                            extra=sem_s, extra_packed=True,
                         )
                     else:
                         g, e = extract_sparse(
                             refined[s], keep_stack[s], box, scale, pcap,
-                            extra=sem[..., s, :], axis_order=ORDER,
+                            extra=sem[..., s, :] if need_extra else None,
+                            axis_order=ORDER,
                         )
                     g = g.replace(coords=g.coords.at[:, 0].set(s))
                     sub_grids.append(g)
-                    sub_sems.append(e.astype(jnp.float32))
+                    if e is not None:
+                        sub_sems.append(e.astype(jnp.float32))
                 panop_grids[scale] = jax.tree_util.tree_map(
                     lambda *a: jnp.stack(a), *sub_grids
                 )
-                if scale == 1:
+                if scale == 1 and sub_sems:
                     sem_pruned = jnp.stack(sub_sems)
 
         predictor = None

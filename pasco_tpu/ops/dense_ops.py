@@ -536,9 +536,19 @@ def extract_sparse_z2(
     stride: int,
     capacity: int,
     extra: Optional[jnp.ndarray] = None,   # [X, 2T, Y, E] logical
+    #                              or PACKED [X, T, Y, 2E] (same X/T/Y as
+    #                              feats): rides the SAME gather as feats
+    extra_packed: bool = False,
 ) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
     """:func:`extract_sparse` for a z-pair-packed volume: gathers packed
-    rows and selects the slot half per kept cell — no unpack relayout."""
+    rows and selects the slot half per kept cell — no unpack relayout.
+
+    Coordinates are computed arithmetically from the compacted source
+    index (the gather of a coords volume cost ~5 ms/call at the scale-1
+    shape — row gathers on this chip are per-row bound).  A packed
+    ``extra`` is lane-concatenated with the features so the payload moves
+    in ONE wide gather instead of two.
+    """
     X, T, Y, c2 = feats_packed.shape
     c = c2 // 2
     Z = 2 * T
@@ -550,21 +560,39 @@ def extract_sparse_z2(
     sz = (src // Y) % Z
     sx = src // (Y * Z)
     prow = (sx * T + sz // 2) * Y + sy
-    rows = feats_packed.reshape(-1, c2)[prow]            # [cap, 2C]
-    vals = jnp.where((sz % 2 == 1)[:, None], rows[:, c:], rows[:, :c])
+    odd = (sz % 2 == 1)[:, None]
 
-    coords3 = cell_coords(box, stride, "xzy").reshape(n, 3)
+    fused = extra is not None and extra_packed
+    if fused:
+        e2 = extra.shape[-1]
+        e = e2 // 2
+        payload = jnp.concatenate(
+            [feats_packed, extra.astype(feats_packed.dtype)], axis=-1
+        )
+        rows = payload.reshape(-1, c2 + e2)[prow]        # [cap, 2C + 2E]
+        vals = jnp.where(odd, rows[:, c : 2 * c], rows[:, :c])
+        extra_vals = jnp.where(
+            odd, rows[:, c2 + e :], rows[:, c2 : c2 + e]
+        )
+    else:
+        rows = feats_packed.reshape(-1, c2)[prow]        # [cap, 2C]
+        vals = jnp.where(odd, rows[:, c:], rows[:, :c])
+
+    # coords = box.min + stride * (x, y, z), straight from src.
+    rel = jnp.stack([sx, sy, sz], axis=-1) * stride + box.minimum[None, :]
     out_coords = jnp.concatenate(
         [
             jnp.zeros((capacity, 1), jnp.int32),
-            jnp.where(mask[:, None], coords3[src], 0),
+            jnp.where(mask[:, None], rel.astype(jnp.int32), 0),
         ],
         axis=-1,
     )
     out_feats = jnp.where(mask[:, None], vals, 0)
     grid = SparseGrid(coords=out_coords, feats=out_feats, mask=mask, stride=stride)
     out_extra = None
-    if extra is not None:
+    if fused:
+        out_extra = jnp.where(mask[:, None], extra_vals, 0)
+    elif extra is not None:
         e = extra.shape[-1]
         out_extra = jnp.where(mask[:, None], extra.reshape(n, e)[src], 0)
     return grid, out_extra
@@ -635,11 +663,22 @@ def extract_sparse(
     keep_f = keep.reshape(n)
     src, mask, _ = compact_src(keep_f, capacity)
 
-    coords3 = cell_coords(box, stride, axis_order).reshape(n, 3)
+    # coords arithmetically from the flat source index (no gather).
+    if axis_order == "xzy":
+        sy = src % Z          # [X, Z, Y, C]: dims are (X, z, y)
+        sz = (src // Z) % Y
+        sx = src // (Z * Y)
+        rel = jnp.stack([sx, sy, sz], axis=-1)
+    else:
+        sz = src % Z
+        sy = (src // Z) % Y
+        sx = src // (Z * Y)
+        rel = jnp.stack([sx, sy, sz], axis=-1)
+    rel = rel * stride + box.minimum[None, :]
     out_coords = jnp.concatenate(
         [
             jnp.zeros((capacity, 1), jnp.int32),
-            jnp.where(mask[:, None], coords3[src], 0),
+            jnp.where(mask[:, None], rel.astype(jnp.int32), 0),
         ],
         axis=-1,
     )

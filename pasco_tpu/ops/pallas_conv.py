@@ -169,13 +169,31 @@ def _block_conv_call(x, weight, ids, n_active, block_capacity):
 # VMEM block the x and t axes are free dims: x-shifts and the z(-pair)
 # window taps are plain slices (no pltpu.roll, hence no f32 restriction —
 # this kernel runs bf16 on the MXU, unlike :func:`block_sparse_conv3`).
-# The remaining y-shifts are handled by DMAing THREE y-offset copies of
-# the tile from HBM (HBM-side offsets are free); each dy tap reads its
-# own copy.  Taps become 27 dense [xw*T*yt, 2Ci] @ [2Ci, 2Co] MXU dots
-# with a t-banded packed weight (6 of 12 (at, pz, oz) channel blocks are
-# live, so the dense-block formulation pays 2x the logical FLOPs — more
-# than bought back by skipping empty tiles and by fusing away the
-# shifted-input build the XLA path materialises per conv).
+# The remaining y-shifts are handled by DMAing the tile plus a full
+# y-tile of halo from HBM; each dy tap is a VMEM-local sublane shift.
+#
+# Two tap formulations, chosen per stage by :func:`conv_plan`:
+#
+#   * ``slot_split=False`` (per-slot channels < 128): 9 dense (at, ax)
+#     dots ``[n, 3*2Ci] @ [3*2Ci, 2Co]`` with a t-banded packed weight.
+#     6 of 12 (at, pz, oz) channel blocks are live, so this pays 2x the
+#     logical FLOPs — but with Co < 128 every thinner dot would pad its
+#     output lanes to the 128 tile and cost exactly the same, so for
+#     small channels the dense form is optimal anyway.
+#   * ``slot_split=True`` (per-slot channels a multiple of 128, the s2/s4
+#     stages): the shift buffer is built as separate lo/hi slot halves
+#     (lane slices at Ci alignment — legal only when Ci % 128 == 0), the
+#     at=0 window uses two half-K dots ``[n, 3Ci] @ [3Ci, 2Co]`` (all 4
+#     slot blocks live -> zero waste) and the at=+-1 windows use one
+#     quarter dot ``[n, 3Ci] @ [3Ci, Co]`` each (their single live
+#     block).  Total MACs drop to exactly the logical 27-tap count (2x
+#     fewer than the dense form) and weight VMEM halves — which is also
+#     what keeps the 512-lane s4 stage inside the 16 MB scoped-VMEM
+#     limit (the dense-form packed weight alone is 14.2 MB there).
+#
+# :func:`conv_plan` additionally picks the x tile width and whether the
+# input DMA is double-buffered so total kernel VMEM fits the scoped
+# limit with headroom.
 # ---------------------------------------------------------------------------
 
 
@@ -203,23 +221,172 @@ def packed_tap_weight(weight: jnp.ndarray) -> jnp.ndarray:
     return wp
 
 
+def split_tap_weights(weight: jnp.ndarray):
+    """[27, Ci, Co] -> the slot-split tap blocks (see module docstring).
+
+    Returns ``(w0lo, w0hi, wm, wp)``:
+
+    * ``w0lo [3(ax), 3(ay)*Ci, 2Co]`` — at=0 window, input slot LO rows:
+      oz=0 cols get dz=0 taps, oz=1 cols get dz=-1 taps.
+    * ``w0hi`` — at=0 window, input slot HI rows: oz=0 <- dz=+1,
+      oz=1 <- dz=0.
+    * ``wm [3, 3*Ci, Co]`` — at=-1 window's single live block
+      (input HI -> output LO via dz=-1).
+    * ``wp [3, 3*Ci, Co]`` — at=+1 window's single live block
+      (input LO -> output HI via dz=+1).
+
+    Row layout is the dy-lane-concat of single-slot Ci lanes, matching
+    the kernel's per-slot shift buffers.
+    """
+    ci, co = weight.shape[1], weight.shape[2]
+    w3 = weight.reshape(3, 3, 3, ci, co)        # [dx, dy, dz+1, ci, co]
+    w0lo = jnp.stack(
+        [
+            jnp.concatenate([w3[:, dy, 1], w3[:, dy, 0]], axis=-1)
+            for dy in range(3)
+        ],
+        axis=1,
+    ).reshape(3, 3 * ci, 2 * co)
+    w0hi = jnp.stack(
+        [
+            jnp.concatenate([w3[:, dy, 2], w3[:, dy, 1]], axis=-1)
+            for dy in range(3)
+        ],
+        axis=1,
+    ).reshape(3, 3 * ci, 2 * co)
+    wm = w3[:, :, 0].reshape(3, 3 * ci, co)
+    wp = w3[:, :, 2].reshape(3, 3 * ci, co)
+    return w0lo, w0hi, wm, wp
+
+
+# Scoped-VMEM budget for one packed-kernel program.  The TPU compiler
+# enforces a 16 MB scoped-vmem limit for custom-call stack allocations;
+# leave ~2 MB headroom for vregs/temporaries.
+_SCOPED_VMEM_BUDGET = 14 * 2**20
+
+
+def _pad128(v: int) -> int:
+    return -(-v // 128) * 128
+
+
+def conv_plan(
+    ci2: int, co2: int, t_padded: int, fused: bool
+) -> Tuple[int, int, bool, bool]:
+    """Pick ``(xw, yt, double_buffer, slot_split)`` for a packed-conv
+    stage so the kernel's VMEM scratch fits :data:`_SCOPED_VMEM_BUDGET`.
+
+    ``slot_split`` is availability-driven (per-slot lane slices need
+    Ci % 128 == 0); the (xw, double_buffer) ladder trades DMA/compute
+    overlap for footprint.  All convs of one stage share a plan (same
+    channel count), so active-tile ids can be computed once per stage.
+    """
+    ci, co = ci2 // 2, co2 // 2
+    slot_split = ci % 128 == 0 and co % 128 == 0
+    if slot_split:
+        wbytes = (
+            2 * 3 * (3 * ci) * _pad128(2 * co)
+            + 2 * 3 * (3 * ci) * _pad128(co)
+        ) * 2
+    else:
+        wbytes = 27 * ci2 * _pad128(co2) * 2
+    yt = 16
+    t_out = t_padded - 2
+    for xw, db in ((8, True), (8, False), (4, True), (4, False)):
+        inb = (2 if db else 1) * (xw + 2) * t_padded * 3 * yt * ci2 * 2
+        mb = (inb // 2) if fused else 0      # int8 mask mirrors the input
+        shift = (xw + 2) * t_padded * yt * 3 * ci2 * 2
+        outb = xw * t_out * yt * _pad128(co2) * 2
+        skipb = outb if fused else 0
+        accb = xw * t_out * yt * _pad128(co2) * 4
+        total = inb + mb + shift + outb + skipb + accb + wbytes
+        if total <= _SCOPED_VMEM_BUDGET:
+            return xw, yt, db, slot_split
+    return 4, yt, False, slot_split
+
+
+def _tap_dots(
+    ib,                       # VMEM value [xw+2, Tp, 3*yt, ci2] (masked)
+    shift_bufs,               # tuple of shift scratch refs
+    w_refs,                   # tuple of weight refs (layout per slot_split)
+    bias_ref,                 # VMEM [1, co2] f32
+    *,
+    xw: int,
+    yt: int,
+    t_out: int,
+    slot_split: bool,
+):
+    """All 27 taps of one tile as MXU dots; returns acc [n, co2] f32."""
+    ci2 = ib.shape[-1]
+    n = xw * t_out * yt
+    if slot_split:
+        shift_lo, shift_hi = shift_bufs
+        w0lo, w0hi, wm, wp = w_refs
+        ci = ci2 // 2
+        co2 = w0lo.shape[-1]
+        for dy in range(3):
+            s = ib[:, :, yt - 1 + dy : 2 * yt - 1 + dy]
+            shift_lo[:, :, :, dy * ci : (dy + 1) * ci] = s[..., :ci]
+            shift_hi[:, :, :, dy * ci : (dy + 1) * ci] = s[..., ci:]
+        acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
+        for ax in range(3):
+            tl = shift_lo[ax : ax + xw]
+            th = shift_hi[ax : ax + xw]
+            acc = acc + jnp.dot(
+                tl[:, 1 : 1 + t_out].reshape(n, 3 * ci), w0lo[ax],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + jnp.dot(
+                th[:, 1 : 1 + t_out].reshape(n, 3 * ci), w0hi[ax],
+                preferred_element_type=jnp.float32,
+            )
+            dm = jnp.dot(
+                th[:, 0:t_out].reshape(n, 3 * ci), wm[ax],
+                preferred_element_type=jnp.float32,
+            )
+            dp = jnp.dot(
+                tl[:, 2 : 2 + t_out].reshape(n, 3 * ci), wp[ax],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + jnp.concatenate([dm, dp], axis=-1)
+        return acc
+    (shift_buf,) = shift_bufs
+    (w_ref,) = w_refs
+    co2 = w_ref.shape[-1]
+    for dy in range(3):
+        shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
+            :, :, yt - 1 + dy : 2 * yt - 1 + dy
+        ]
+    acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
+    for at in range(3):
+        for ax in range(3):
+            tap = shift_buf[ax : ax + xw, at : at + t_out]
+            acc = acc + jnp.dot(
+                tap.reshape(n, 3 * ci2),
+                w_ref[at, ax],
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
 def _packed_kernel(
     ids_ref,                # SMEM [n_tiles] flat tile id
     n_active_ref,           # SMEM [1]
     xp_ref,                 # HBM [X+2, T+2, Y+2yt, 2Ci] padded masked input
-    w_ref,                  # VMEM [3, 3, 3*2Ci, 2Co] (ay folded into rows)
+    w_refs,                 # VMEM weight refs (layout per slot_split)
     bias_ref,               # VMEM [1, 2Co] (zeros when no bias)
     out_ref,                # HBM [X, T, Y, 2Co]
-    in_bufs,                # VMEM [2, xw+2, T+2, 3*yt, 2Ci] double buffer
-    shift_buf,              # VMEM [xw+2, T+2, yt, 3*2Ci] y-shift concat
+    in_bufs,                # VMEM [nbuf, xw+2, T+2, 3*yt, 2Ci]
+    shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
     out_buf,                # VMEM [xw, T, yt, 2Co]
-    in_sems,                # DMA sems (2,)
+    in_sems,                # DMA sems (nbuf,)
     out_sem,
     *,
     xw: int,
     yt: int,
     t_out: int,
     by: int,
+    slot_split: bool,
+    db: bool,
 ):
     g = pl.program_id(0)
     n_act = n_active_ref[0]
@@ -238,41 +405,34 @@ def _packed_kernel(
             in_sems.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        @pl.when(n_act > 0)
+    if db:
+        @pl.when(g == 0)
         def _():
-            in_dma(0, 0).start()
+            @pl.when(n_act > 0)
+            def _():
+                in_dma(0, 0).start()
 
     @pl.when(g < n_act)
     def _():
-        slot = jax.lax.rem(g, 2)
-        in_dma(slot, g).wait()
+        if db:
+            slot = jax.lax.rem(g, 2)
+            in_dma(slot, g).wait()
 
-        # Prefetch the next tile while this one computes.
-        @pl.when(g + 1 < n_act)
-        def _():
-            in_dma(1 - slot, g + 1).start()
+            # Prefetch the next tile while this one computes.
+            @pl.when(g + 1 < n_act)
+            def _():
+                in_dma(1 - slot, g + 1).start()
+        else:
+            slot = 0
+            dma = in_dma(0, g)
+            dma.start()
+            dma.wait()
 
-        ci2 = in_bufs.shape[-1]
         co2 = out_buf.shape[-1]
-        n = xw * t_out * yt
-        # Hoist the (sublane-unaligned) y shifts out of the tap loop and
-        # lane-concatenate them so each (at, ax) tap is ONE K=3*2Ci dot.
-        ib = in_bufs[slot]
-        for dy in range(3):
-            shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
-                :, :, yt - 1 + dy : 2 * yt - 1 + dy
-            ]
-        acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
-        for at in range(3):
-            for ax in range(3):
-                tap = shift_buf[ax : ax + xw, at : at + t_out]
-                acc = acc + jnp.dot(
-                    tap.reshape(n, 3 * ci2),
-                    w_ref[at, ax],
-                    preferred_element_type=jnp.float32,
-                )
+        acc = _tap_dots(
+            in_bufs[slot], shift_bufs, w_refs, bias_ref,
+            xw=xw, yt=yt, t_out=t_out, slot_split=slot_split,
+        )
         out_buf[...] = acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype)
         tid = ids_ref[g]
         copy_out = pltpu.make_async_copy(
@@ -301,46 +461,70 @@ def active_tiles_xy(
     return src.astype(jnp.int32), (new_pos[-1] + 1).reshape(1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("xw", "yt"))
-def _packed_conv_call(xp, wp, bias2, ids, n_active, xw, yt):
+@functools.partial(
+    jax.jit, static_argnames=("xw", "yt", "slot_split", "db")
+)
+def _packed_conv_call(
+    xp, weights, bias2, ids, n_active, xw, yt, slot_split, db
+):
+    """``weights`` is the tuple from :func:`split_tap_weights` when
+    ``slot_split`` else a 1-tuple of the dense packed weight."""
     Xp, Tp, Yp, ci2 = xp.shape
     X, T, Y = Xp - 2, Tp - 2, Yp - 2 * yt  # y is padded a full tile per side
-    co2 = wp.shape[-1]
+    co2 = weights[0].shape[-1]
     by = Y // yt
+    nw = len(weights)
+    nbuf = 2 if db else 1
+
+    if slot_split:
+        shift_shapes = [
+            pltpu.VMEM((xw + 2, Tp, yt, 3 * (ci2 // 2)), xp.dtype)
+            for _ in range(2)
+        ]
+    else:
+        shift_shapes = [pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=((X // xw) * by,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
             pl.BlockSpec(memory_space=pltpu.ANY),   # donated zero output
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
-            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
+            *shift_shapes,
             pltpu.VMEM((xw, T, yt, co2), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    def kernel(ids_ref, n_ref, xp_ref, w_ref, b_ref, out_in_ref, out_ref,
-               in_bufs, shift_buf, out_buf, in_sems, out_sem):
-        _packed_kernel(ids_ref, n_ref, xp_ref, w_ref, b_ref, out_ref,
-                       in_bufs, shift_buf, out_buf, in_sems, out_sem,
-                       xw=xw, yt=yt, t_out=T, by=by)
+    ns = len(shift_shapes)
+
+    def kernel(ids_ref, n_ref, xp_ref, *rest):
+        w_refs = rest[:nw]
+        b_ref, out_in_ref, out_ref = rest[nw], rest[nw + 1], rest[nw + 2]
+        in_bufs = rest[nw + 3]
+        shift_bufs = rest[nw + 4 : nw + 4 + ns]
+        out_buf, in_sems, out_sem = rest[nw + 4 + ns : nw + 7 + ns]
+        _packed_kernel(ids_ref, n_ref, xp_ref, w_refs, b_ref, out_ref,
+                       in_bufs, shift_bufs, out_buf, in_sems, out_sem,
+                       xw=xw, yt=yt, t_out=T, by=by,
+                       slot_split=slot_split, db=db)
 
     out0 = jnp.zeros((X, T, Y, co2), xp.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # operand order: ids, n_active, xp, *weights, bias2, out0
+        input_output_aliases={4 + nw: 0},
         out_shape=jax.ShapeDtypeStruct((X, T, Y, co2), xp.dtype),
-        input_output_aliases={5: 0},  # 2 prefetch + xp + w + bias, then out0
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, n_active, xp, wp, bias2, out0)
+    )(ids, n_active, xp, *weights, bias2, out0)
 
 
 # ---------------------------------------------------------------------------
@@ -364,20 +548,21 @@ def _fused_kernel(
     ids_ref, n_active_ref,
     xp_ref,                 # HBM [X+2, T+2, Y+2yt, 2Ci] padded input
     m_ref,                  # HBM [X+2, T+2, Y+2yt, 2Ci] int8 mask
-    w_ref,                  # VMEM [3, 3, 3*2Ci, 2Co]
+    w_refs,                 # VMEM weight refs (layout per slot_split)
     aff_ref,                # VMEM [2, 2Ci] f32 (a, c) rows
     bias_ref,               # VMEM [1, 2Co] f32
     skip_ref,               # HBM padded [X+2, T+2, Y+2yt, 2Co] (or dummy)
     out_ref,                # HBM padded or interior output
-    in_bufs,                # VMEM [2, xw+2, T+2, 3*yt, 2Ci]
-    m_bufs,                 # VMEM [2, xw+2, T+2, 3*yt, 2Ci] int8
-    shift_buf,              # VMEM [xw+2, T+2, yt, 3*2Ci]
+    in_bufs,                # VMEM [nbuf, xw+2, T+2, 3*yt, 2Ci]
+    m_bufs,                 # VMEM [nbuf, xw+2, T+2, 3*yt, 2Ci] int8
+    shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
     skip_buf,               # VMEM [xw, T, yt, 2Co]
     out_buf,                # VMEM [xw, T, yt, 2Co]
     in_sems, m_sems, skip_sem, out_sem,
     *,
     xw: int, yt: int, t_out: int, by: int,
     apply_affine: bool, apply_relu: bool, has_skip: bool, out_padded: bool,
+    slot_split: bool, db: bool,
 ):
     g = pl.program_id(0)
     n_act = n_active_ref[0]
@@ -393,16 +578,16 @@ def _fused_kernel(
             sems.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        @pl.when(n_act > 0)
+    if db:
+        @pl.when(g == 0)
         def _():
-            wide_dma(xp_ref, in_bufs, in_sems, 0, 0).start()
-            wide_dma(m_ref, m_bufs, m_sems, 0, 0).start()
+            @pl.when(n_act > 0)
+            def _():
+                wide_dma(xp_ref, in_bufs, in_sems, 0, 0).start()
+                wide_dma(m_ref, m_bufs, m_sems, 0, 0).start()
 
     @pl.when(g < n_act)
     def _():
-        slot = jax.lax.rem(g, 2)
         tid = ids_ref[g]
         x0 = (tid // by) * xw
         y0 = (tid % by) * yt
@@ -415,15 +600,24 @@ def _fused_kernel(
                 skip_sem,
             )
             skip_dma.start()
-        wide_dma(xp_ref, in_bufs, in_sems, slot, g).wait()
-        wide_dma(m_ref, m_bufs, m_sems, slot, g).wait()
+        if db:
+            slot = jax.lax.rem(g, 2)
+            wide_dma(xp_ref, in_bufs, in_sems, slot, g).wait()
+            wide_dma(m_ref, m_bufs, m_sems, slot, g).wait()
 
-        @pl.when(g + 1 < n_act)
-        def _():
-            wide_dma(xp_ref, in_bufs, in_sems, 1 - slot, g + 1).start()
-            wide_dma(m_ref, m_bufs, m_sems, 1 - slot, g + 1).start()
+            @pl.when(g + 1 < n_act)
+            def _():
+                wide_dma(xp_ref, in_bufs, in_sems, 1 - slot, g + 1).start()
+                wide_dma(m_ref, m_bufs, m_sems, 1 - slot, g + 1).start()
+        else:
+            slot = 0
+            d1 = wide_dma(xp_ref, in_bufs, in_sems, 0, g)
+            d2 = wide_dma(m_ref, m_bufs, m_sems, 0, g)
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
 
-        ci2 = in_bufs.shape[-1]
         co2 = out_buf.shape[-1]
         n = xw * t_out * yt
 
@@ -441,20 +635,10 @@ def _fused_kernel(
             y = jnp.maximum(y, 0)
         in_bufs[slot] = jnp.where(m_bufs[slot] != 0, y, 0)
 
-        ib = in_bufs[slot]
-        for dy in range(3):
-            shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
-                :, :, yt - 1 + dy : 2 * yt - 1 + dy
-            ]
-        acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
-        for at in range(3):
-            for ax in range(3):
-                tap = shift_buf[ax : ax + xw, at : at + t_out]
-                acc = acc + jnp.dot(
-                    tap.reshape(n, 3 * ci2),
-                    w_ref[at, ax],
-                    preferred_element_type=jnp.float32,
-                )
+        acc = _tap_dots(
+            in_bufs[slot], shift_bufs, w_refs, bias_ref,
+            xw=xw, yt=yt, t_out=t_out, slot_split=slot_split,
+        )
         if has_skip:
             skip_dma.wait()
             acc = acc + skip_buf[...].reshape(n, co2).astype(jnp.float32)
@@ -474,17 +658,29 @@ def _fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "xw", "yt", "apply_affine", "apply_relu", "has_skip", "out_padded"
+        "xw", "yt", "apply_affine", "apply_relu", "has_skip", "out_padded",
+        "slot_split", "db",
     ),
 )
 def _fused_conv_call(
-    xp, m8, wp, aff, bias2, skip, ids, n_active,
-    xw, yt, apply_affine, apply_relu, has_skip, out_padded,
+    xp, m8, weights, aff, bias2, skip, ids, n_active,
+    xw, yt, apply_affine, apply_relu, has_skip, out_padded, slot_split, db,
 ):
     Xp, Tp, Yp, ci2 = xp.shape
     X, T, Y = Xp - 2, Tp - 2, Yp - 2 * yt
-    co2 = wp.shape[-1]
+    co2 = weights[0].shape[-1]
     by = Y // yt
+    nw = len(weights)
+    nbuf = 2 if db else 1
+
+    if slot_split:
+        shift_shapes = [
+            pltpu.VMEM((xw + 2, Tp, yt, 3 * (ci2 // 2)), xp.dtype)
+            for _ in range(2)
+        ]
+    else:
+        shift_shapes = [pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype)]
+    ns = len(shift_shapes)
 
     out_shape = (
         (Xp, Tp, Yp, co2) if out_padded else (X, T, Y, co2)
@@ -495,35 +691,41 @@ def _fused_conv_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # xp
             pl.BlockSpec(memory_space=pltpu.ANY),   # mask int8
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # affine rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
             pl.BlockSpec(memory_space=pltpu.ANY),   # skip (padded)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
-            pltpu.VMEM((2, xw + 2, Tp, 3 * yt, ci2), jnp.int8),
-            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, Tp, 3 * yt, ci2), jnp.int8),
+            *shift_shapes,
             pltpu.VMEM((xw, T, yt, co2), xp.dtype),
             pltpu.VMEM((xw, T, yt, co2), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    def kernel(ids_ref, n_ref, xp_ref, m_ref, w_ref, aff_ref, b_ref,
-               skip_ref, out_ref, in_bufs, m_bufs, shift_buf,
-               skip_buf, out_buf, in_sems, m_sems, skip_sem, out_sem):
+    def kernel(ids_ref, n_ref, xp_ref, m_ref, *rest):
+        w_refs = rest[:nw]
+        aff_ref, b_ref, skip_ref, out_ref = rest[nw : nw + 4]
+        in_bufs, m_bufs = rest[nw + 4], rest[nw + 5]
+        shift_bufs = rest[nw + 6 : nw + 6 + ns]
+        skip_buf, out_buf, in_sems, m_sems, skip_sem, out_sem = rest[
+            nw + 6 + ns :
+        ]
         _fused_kernel(
-            ids_ref, n_ref, xp_ref, m_ref, w_ref, aff_ref, b_ref, skip_ref,
-            out_ref, in_bufs, m_bufs, shift_buf, skip_buf, out_buf,
+            ids_ref, n_ref, xp_ref, m_ref, w_refs, aff_ref, b_ref, skip_ref,
+            out_ref, in_bufs, m_bufs, shift_bufs, skip_buf, out_buf,
             in_sems, m_sems, skip_sem, out_sem,
             xw=xw, yt=yt, t_out=T, by=by,
             apply_affine=apply_affine, apply_relu=apply_relu,
             has_skip=has_skip, out_padded=out_padded,
+            slot_split=slot_split, db=db,
         )
 
     # The output buffer is deliberately UNINITIALISED outside active tiles
@@ -534,7 +736,7 @@ def _fused_conv_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, xp.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, n_active, xp, m8, wp, aff, bias2, skip)
+    )(ids, n_active, xp, m8, *weights, aff, bias2, skip)
 
 
 def stage_mask8(
@@ -567,6 +769,16 @@ def unpad_stage(xp: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
     return xp[1:-1, 1:-1, yt:-yt]
 
 
+def _plan_weights(weight: jnp.ndarray, slot_split: bool, cd):
+    """Weight tuple for a plan: split blocks or the dense packed form."""
+    ci, co = weight.shape[1], weight.shape[2]
+    if slot_split:
+        return tuple(w.astype(cd) for w in split_tap_weights(weight))
+    return (
+        packed_tap_weight(weight).astype(cd).reshape(3, 3, 6 * ci, 2 * co),
+    )
+
+
 def fused_packed_conv(
     xp: jnp.ndarray,           # [X+2, T+2, Y+2yt, 2Ci] padded bf16
     weight: jnp.ndarray,       # [27, Ci, Co]
@@ -579,17 +791,24 @@ def fused_packed_conv(
     skip: Optional[jnp.ndarray] = None,       # padded [.., 2Co]
     out_padded: bool = True,
     compute_dtype=None,
-    xw: int = 8,
-    yt: int = 16,
+    plan: Optional[Tuple[int, int, bool, bool]] = None,
 ) -> jnp.ndarray:
     """One fused conv of a residual chain: prologue
     ``y = [relu](a*x + c) * mask`` -> packed 3^3 conv -> epilogue
     ``[relu](acc + bias [+ skip])``; optionally writes a padded output the
-    next fused conv consumes directly."""
+    next fused conv consumes directly.
+
+    ``plan`` must be the :func:`conv_plan` tuple the caller used to build
+    ``ids`` (tile ids depend on the plan's tile width); None recomputes it
+    here — only valid when the caller also used the default plan.
+    """
     cd = compute_dtype or xp.dtype
     ci = weight.shape[1]
     co = weight.shape[-1]
-    wp = packed_tap_weight(weight).astype(cd).reshape(3, 3, 6 * ci, 2 * co)
+    if plan is None:
+        plan = conv_plan(2 * ci, 2 * co, xp.shape[1], fused=True)
+    xw, yt, db, slot_split = plan
+    weights = _plan_weights(weight, slot_split, cd)
     if affine is not None:
         aff = jnp.stack(
             [affine[0].astype(jnp.float32), affine[1].astype(jnp.float32)]
@@ -607,8 +826,9 @@ def fused_packed_conv(
     else:
         skip_arr = skip.astype(xp.dtype)
     return _fused_conv_call(
-        xp.astype(cd), mask8, wp, aff, b2, skip_arr, ids, n_active,
+        xp.astype(cd), mask8, weights, aff, b2, skip_arr, ids, n_active,
         xw, yt, affine is not None, relu, skip is not None, out_padded,
+        slot_split, db,
     )
 
 
@@ -618,8 +838,6 @@ def block_sparse_packed_conv(
     mask: jnp.ndarray,         # [X, 2T, Y] logical occupancy
     bias: Optional[jnp.ndarray] = None,
     compute_dtype=None,
-    xw: int = 8,
-    yt: int = 16,
 ) -> jnp.ndarray:
     """'Same' 3^3 submanifold conv on a packed volume over occupied
     (xw, yt) xy tiles only; drop-in for
@@ -628,9 +846,11 @@ def block_sparse_packed_conv(
     tiles come back exactly zero.  Inference path (no custom VJP).
     """
     X, T, Y, c2 = x.shape
-    assert X % xw == 0 and Y % yt == 0, (x.shape, xw, yt)
     cd = compute_dtype or x.dtype
     c = c2 // 2
+    co = weight.shape[-1]
+    xw, yt, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)
+    assert X % xw == 0 and Y % yt == 0, (x.shape, xw, yt)
     lo, hi = mask[:, 0::2], mask[:, 1::2]
     xm = jnp.concatenate(
         [
@@ -642,17 +862,16 @@ def block_sparse_packed_conv(
     # y pads a full tile per side so every tile's wide halo DMA slice stays
     # sublane-tile aligned (Mosaic requires it for HBM slices).
     xp = jnp.pad(xm, ((1, 1), (1, 1), (yt, yt), (0, 0)))
-    # [at, ax, ay, 2Ci, 2Co] -> [at, ax, ay*2Ci, 2Co]: rows match the
-    # kernel's lane-concatenated y-shift buffer.
-    co = weight.shape[-1]
-    wp = packed_tap_weight(weight).astype(cd).reshape(3, 3, 6 * c, 2 * co)
+    weights = _plan_weights(weight, slot_split, cd)
     b2 = (
         jnp.concatenate([bias, bias]).astype(jnp.float32)
         if bias is not None
         else jnp.zeros((2 * co,), jnp.float32)
     ).reshape(1, 2 * co)
     ids, n_active = active_tiles_xy(mask.any(axis=1), xw, yt)
-    out = _packed_conv_call(xp, wp, b2, ids, n_active, xw, yt)
+    out = _packed_conv_call(
+        xp, weights, b2, ids, n_active, xw, yt, slot_split, db
+    )
     return out.astype(x.dtype)
 
 

@@ -226,3 +226,137 @@ def test_packed_conv_vjp_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got[2]), np.asarray(ref[2]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_refiner_matches_xla_per_subnet():
+    """fused_refine_one (the S-agnostic fused refiner driver) == the XLA
+    refiner math: conv1 -> BN-affine+relu -> conv2(+bias), masked."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2, pack_z2
+    from pasco_tpu.models.dense_unet import fused_refine_one
+
+    r = np.random.RandomState(7)
+    X, Z, Y, C = 16, 8, 32, 4
+    S = 2
+    x = jnp.asarray(r.randn(X, Z, Y, C).astype(np.float32))
+    xp = pack_z2(x)
+    w1 = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(r.randn(C).astype(np.float32) * 0.1)
+    a = jnp.asarray(np.abs(r.randn(2 * C)).astype(np.float32))
+    c = jnp.asarray(r.randn(2 * C).astype(np.float32) * 0.1)
+
+    for s in range(S):
+        mask_np = r.rand(X, Z, Y) > 0.5
+        mask_np[8:] = False
+        keep = jnp.asarray(mask_np)
+        lo, hi = keep[:, 0::2], keep[:, 1::2]
+
+        def msel(v):
+            cc = v.shape[-1] // 2
+            return jnp.concatenate(
+                [jnp.where(lo[..., None], v[..., :cc], 0),
+                 jnp.where(hi[..., None], v[..., cc:], 0)], -1)
+
+        g = conv3_packed_z2(xp, w1, None, mask=keep)
+        f = jnp.maximum(msel(g) * a + c, 0)
+        ref = conv3_packed_z2(msel(f), w2, b2, mask=keep)
+
+        with _interpret():
+            got = fused_refine_one(xp, keep, w1, (a, c), w2, b2, None)
+        got_m = np.asarray(msel(jnp.asarray(got)))
+        ref_m = np.asarray(msel(ref))
+        np.testing.assert_allclose(got_m, ref_m, rtol=1e-3, atol=1e-3)
+
+
+def test_conv_plan_ladder():
+    from pasco_tpu.ops.pallas_conv import conv_plan
+
+    # tiny channels: dense form, full tile, double-buffered
+    assert conv_plan(8, 8, 6, True) == (8, 16, True, False)
+    # s1 flagship (64-ch slots): dense form (lane padding makes the
+    # split a wash), full tile
+    xw, yt, db, ss = conv_plan(128, 128, 18, True)
+    assert (xw, yt, ss) == (8, 16, False) and db
+    # s2 (128-ch slots): slot-split available
+    assert conv_plan(256, 256, 10, True)[3] is True
+    # s4 (256-ch slots): slot-split + a reduced plan that fits the 16 MB
+    # scoped-VMEM limit (the dense-form weight alone is 14.2 MB there)
+    xw, yt, db, ss = conv_plan(512, 512, 6, True)
+    assert ss is True and xw == 4
+
+
+def test_block_sparse_packed_conv_slot_split_matches_xla():
+    """Ci=Co=128 triggers the slot-split tap formulation; must agree
+    with the XLA packed conv on kept cells."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2, pack_z2
+    from pasco_tpu.ops.pallas_conv import (
+        block_sparse_packed_conv, conv_plan)
+
+    assert conv_plan(256, 256, 6, False)[3] is True
+    r = np.random.RandomState(11)
+    X, Z, Y, C = 8, 8, 32, 128
+    x = jnp.asarray(r.randn(X, Z, Y, C).astype(np.float32) * 0.2)
+    mask_np = r.rand(X, Z, Y) > 0.4
+    mask_np[:, :, 16:] = False       # one inactive y tile
+    mask = jnp.asarray(mask_np)
+    w = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.05)
+    b = jnp.asarray(r.randn(C).astype(np.float32) * 0.1)
+
+    xm = pack_z2(jnp.where(mask[..., None], x, 0))
+    ref = conv3_packed_z2(xm, w, b, mask=mask)
+    with _interpret():
+        got = block_sparse_packed_conv(pack_z2(x), w, mask, bias=b)
+
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+    sel = np.concatenate(
+        [np.asarray(lo)[..., None].repeat(C, -1),
+         np.asarray(hi)[..., None].repeat(C, -1)], -1)
+    d = np.abs(np.asarray(got) - np.asarray(ref))[sel]
+    assert d.max() < 2e-3, d.max()
+
+
+def test_fused_packed_conv_slot_split_matches_xla():
+    """Fused chain at Ci=Co=128 (slot-split formulation) == XLA math."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2
+    from pasco_tpu.ops.pallas_conv import (
+        active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
+        stage_mask8, unpad_stage)
+
+    r = np.random.RandomState(12)
+    X, Z, Y, C = 8, 8, 32, 128
+    T = Z // 2
+    x = jnp.asarray(r.randn(X, T, Y, 2 * C).astype(np.float32) * 0.2)
+    mask_np = r.rand(X, Z, Y) > 0.4
+    mask_np[:, :, 16:] = False
+    mask = jnp.asarray(mask_np)
+    w = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.05)
+    b = jnp.asarray(r.randn(C).astype(np.float32) * 0.1)
+    a = jnp.asarray((np.abs(r.randn(2 * C)) + 0.5).astype(np.float32))
+    c = jnp.asarray(r.randn(2 * C).astype(np.float32) * 0.1)
+
+    plan = conv_plan(2 * C, 2 * C, T + 2, fused=True)
+    assert plan[3] is True
+
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+
+    def msel(v):
+        cc = v.shape[-1] // 2
+        return jnp.concatenate(
+            [jnp.where(lo[..., None], v[..., :cc], 0),
+             jnp.where(hi[..., None], v[..., cc:], 0)], -1)
+
+    ref = conv3_packed_z2(msel(jnp.maximum(x * a + c, 0)), w, b)
+
+    with _interpret():
+        m8 = stage_mask8(mask, 2 * C)
+        ids, n = active_tiles_xy(mask.any(axis=1), plan[0], plan[1])
+        got = fused_packed_conv(
+            pad_stage(x), w, m8, ids, n, affine=(a, c), relu=True,
+            bias=b, out_padded=False, plan=plan,
+        )
+    tile_act = mask_np.any(1).reshape(
+        X // plan[0], plan[0], Y // plan[1], plan[1]).any((1, 3))
+    act = np.repeat(np.repeat(tile_act, plan[0], 0), plan[1], 1)
+    sel = np.broadcast_to(act[:, None, :], (X, T, Y))
+    d = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
+    assert d[sel].max() < 2e-3, d[sel].max()
