@@ -285,6 +285,39 @@ def kitti360_config(n_infers: int = 1) -> PaSCoConfig:
     )
 
 
+def flagship_narrow_config(n_infers: int = 2) -> PaSCoConfig:
+    """The flagship MODEL section (full f=64 channel widths, the real
+    384-dim transformer, 100 queries, WaffleIron in_channels) over a
+    narrow working box with reduced capacities.
+
+    Multi-chip dry-runs use this so the sharded train step exercises the
+    real per-layer shapes (BN psum folding, vmapped subnet axes, head
+    widths) on a virtual CPU mesh without flagship-box memory/compile
+    cost.
+    """
+    base = PaSCoConfig()
+    return base.replace(
+        model=dataclasses.replace(
+            base.model,
+            n_infers=n_infers,
+            encoder_dropouts=(0.0,) * 6,
+        ),
+        scene=SceneConfig(
+            scene_size=(32, 32, 8),
+            box_extent=(64, 64, 16),
+            box_candidates=((48, 48, 16), (64, 64, 16)),
+            train_box_extent=None,
+        ),
+        capacity=CapacityConfig(
+            num_points=4096,
+            enc_s1=4096, enc_s2=2048, enc_s4=1024, enc_s8=512,
+            bottleneck=256, ups_s4=2048,
+            dec_s4=1024, dec_s2=2048, dec_s1=8192,
+            panop_s4=512, panop_s2=1024, panop_s1=2048,
+        ),
+    )
+
+
 def tiny_config(n_infers: int = 1, n_classes: int = 20) -> PaSCoConfig:
     """Small config for unit tests / CPU mesh dry-runs."""
     base = PaSCoConfig()

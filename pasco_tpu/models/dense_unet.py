@@ -248,10 +248,7 @@ class DenseConv(nn.Module):
                 bb = jnp.concatenate([b, b]) if self.packed else b
                 out = out + bb.astype(out.dtype)
             out = out.astype(x.dtype)
-        elif (
-            self.packed and self.use_pallas
-            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
-        ):
+        elif self.packed and self.use_pallas and x.shape[0] % 8 == 0:
             # Block-sparse fused kernel: skips empty (8, 16) xy tiles and
             # fuses input masking + the shifted-input build + bias.  The
             # custom-VJP wrapper makes it differentiable (backward data
@@ -439,7 +436,7 @@ class DenseEncStage(nn.Module):
             )(x, mask, train)
         fused = (
             self.pallas and self.out_packed and not train and self.n_res > 0
-            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
+            and x.shape[0] % 8 == 0
             and x.shape[-1] // 2 == self.out_channels
         )
         if fused:
@@ -463,7 +460,7 @@ class DenseEncStage(nn.Module):
                 )(xpad, mask, train, ctx)
             # stage-final mask: the next stage's XLA down conv reads every
             # cell, so empties must be exact zeros.
-            return _mm(unpad_stage(xpad), mask, True), mask
+            return _mm(unpad_stage(xpad, y=x.shape[2]), mask, True), mask
         for i in range(self.n_res):
             # Only the stage-final block masks its output: the stage feeds
             # an XLA down conv (a strided matmul that reads every cell);
@@ -555,7 +552,7 @@ class DenseDecoderStage(nn.Module):
 
         fused = (
             self.pallas and pk and not train and self.n_res > 0
-            and x.shape[0] % 8 == 0 and x.shape[2] % 16 == 0
+            and x.shape[0] % 8 == 0
             and x.shape[-1] // 2 == ch
         )
         if fused:
@@ -577,7 +574,7 @@ class DenseDecoderStage(nn.Module):
                     fused_plan=plan, name=f"res{ri}",
                 )(xpad, msk, train, ctx)
             # Decoder output needs no mask (heads/extraction re-mask).
-            x = unpad_stage(xpad)
+            x = unpad_stage(xpad, y=x.shape[2])
         else:
             for ri in range(self.n_res):
                 # Decoder blocks never need the output mask in lean mode:
@@ -747,10 +744,11 @@ def fused_refine_one(x, keep, w1, aff, w2, b2, cd):
         pad_stage(x), w1, m8, ids, n_act, out_padded=True, compute_dtype=cd,
         plan=plan,
     )
-    return fused_packed_conv(
+    out = fused_packed_conv(
         g, w2, m8, ids, n_act, affine=aff, relu=True, bias=b2,
         out_padded=False, compute_dtype=cd, plan=plan,
     )
+    return out[:, :, : x.shape[2]]   # drop the y tile-rounding pad
 
 
 class PointMLP(nn.Module):
@@ -973,10 +971,16 @@ class DensePaSCoNet(nn.Module):
             # loss only; at inference only scale 1 is consumed (semantic
             # ensembling) — skip the payload gathers for the others.
             need_extra = train or scale == 1
+            # The dec grids' FEATURES have no consumer anywhere (the
+            # sem-compl loss reads coords/mask + the sem payload; the
+            # panop/transformer path extracts its own refined feats), so
+            # the payload gather carries sem only — or nothing at all at
+            # inference scales 2/4.
             if scale in packed_scales:
                 grid, extra = extract_sparse_z2(
                     x, keep, box, scale, cap.dec_capacity(scale),
                     extra=sem if need_extra else None, extra_packed=True,
+                    gather_feats=False,
                 )
             else:
                 grid, extra = extract_sparse(
@@ -987,6 +991,7 @@ class DensePaSCoNet(nn.Module):
                         else None
                     ),
                     axis_order=ORDER,
+                    gather_feats=False,
                 )
             xs[scale] = grid
             sem_at[scale] = (
@@ -1035,7 +1040,7 @@ class DensePaSCoNet(nn.Module):
                 # params out and drives one fused chain per subnet below.
                 fused_ref = (
                     pallas and pscale and not train
-                    and xdense.shape[0] % 8 == 0 and xdense.shape[2] % 16 == 0
+                    and xdense.shape[0] % 8 == 0
                 )
                 ref_mod = nn.vmap(
                     RefBase,

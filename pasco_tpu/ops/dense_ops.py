@@ -539,6 +539,10 @@ def extract_sparse_z2(
     #                              or PACKED [X, T, Y, 2E] (same X/T/Y as
     #                              feats): rides the SAME gather as feats
     extra_packed: bool = False,
+    gather_feats: bool = True,   # False: the returned grid's feats are
+    #                              zeros (no payload gather) — for grids
+    #                              whose consumers only read coords/mask
+    #                              (+extra), e.g. the dec sem extractions
 ) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
     """:func:`extract_sparse` for a z-pair-packed volume: gathers packed
     rows and selects the slot half per kept cell — no unpack relayout.
@@ -563,7 +567,13 @@ def extract_sparse_z2(
     odd = (sz % 2 == 1)[:, None]
 
     fused = extra is not None and extra_packed
-    if fused:
+    if fused and not gather_feats:
+        e2 = extra.shape[-1]
+        e = e2 // 2
+        rows = extra.reshape(-1, e2)[prow]               # [cap, 2E]
+        extra_vals = jnp.where(odd, rows[:, e:], rows[:, :e])
+        vals = jnp.zeros((capacity, c), feats_packed.dtype)
+    elif fused:
         e2 = extra.shape[-1]
         e = e2 // 2
         payload = jnp.concatenate(
@@ -574,6 +584,8 @@ def extract_sparse_z2(
         extra_vals = jnp.where(
             odd, rows[:, c2 + e :], rows[:, c2 : c2 + e]
         )
+    elif not gather_feats:
+        vals = jnp.zeros((capacity, c), feats_packed.dtype)
     else:
         rows = feats_packed.reshape(-1, c2)[prow]        # [cap, 2C]
         vals = jnp.where(odd, rows[:, c:], rows[:, :c])
@@ -647,6 +659,7 @@ def extract_sparse(
     capacity: int,
     extra: Optional[jnp.ndarray] = None,   # [X, Y, Z, E] carried along
     axis_order: str = "xyz",
+    gather_feats: bool = True,
 ) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
     """Compact kept cells into a padded :class:`SparseGrid`.
 
@@ -682,7 +695,10 @@ def extract_sparse(
         ],
         axis=-1,
     )
-    out_feats = jnp.where(mask[:, None], feats.reshape(n, c)[src], 0)
+    if gather_feats:
+        out_feats = jnp.where(mask[:, None], feats.reshape(n, c)[src], 0)
+    else:
+        out_feats = jnp.zeros((capacity, c), feats.dtype)
     grid = SparseGrid(coords=out_coords, feats=out_feats, mask=mask, stride=stride)
     out_extra = None
     if extra is not None:

@@ -174,12 +174,14 @@ def _block_conv_call(x, weight, ids, n_active, block_capacity):
 #
 # Two tap formulations, chosen per stage by :func:`conv_plan`:
 #
-#   * ``slot_split=False`` (per-slot channels < 128): 9 dense (at, ax)
-#     dots ``[n, 3*2Ci] @ [3*2Ci, 2Co]`` with a t-banded packed weight.
-#     6 of 12 (at, pz, oz) channel blocks are live, so this pays 2x the
-#     logical FLOPs — but with Co < 128 every thinner dot would pad its
-#     output lanes to the 128 tile and cost exactly the same, so for
-#     small channels the dense form is optimal anyway.
+#   * ``slot_split=False`` (per-slot channels not 128-aligned, the s1
+#     stages): 6 dots per tile — 3 fully-live at=0 window dots
+#     ``[n, 3*2Ci] @ [3*2Ci, 2Co]`` plus 3 combined neighbour-window dots
+#     against a per-dy ``[prev-pair HI | next-pair LO]`` lane buffer with
+#     a block-diagonal weight (:func:`pm_tap_weights`) — 4/3x the logical
+#     27-tap MACs (the neighbour dot is half dead), vs 2x for the naive
+#     9-dot t-banded form.  Thinner dots can't do better here: with
+#     Co < 128 they'd pad their output lanes to the 128 tile anyway.
 #   * ``slot_split=True`` (per-slot channels a multiple of 128, the s2/s4
 #     stages): the shift buffer is built as separate lo/hi slot halves
 #     (lane slices at Ci alignment — legal only when Ci % 128 == 0), the
@@ -259,6 +261,55 @@ def split_tap_weights(weight: jnp.ndarray):
     return w0lo, w0hi, wm, wp
 
 
+def pm_tap_weights(weight: jnp.ndarray):
+    """[27, Ci, Co] -> the combined-window tap blocks for the non-split
+    formulation: ``(w0, wpm)``, each ``[3(ax), 3(ay)*2Ci, 2Co]``.
+
+    * ``w0`` — the at=0 (same z-pair) window.  All four (slot, oz) blocks
+      are live: per dy the [2Ci, 2Co] block is
+      ``[[dz0, dz-1], [dz+1, dz0]]`` (rows = input lo|hi, cols = out
+      lo|hi) — zero wasted MACs.
+    * ``wpm`` — ONE dot covering both neighbour windows, fed by the
+      kernel's combined buffer whose per-dy lanes hold
+      ``[prev-pair HI | next-pair LO]`` (the only live slots of the at=-1
+      / at=+1 windows).  Per dy the block is block-diagonal
+      ``[[dz-1, 0], [0, dz+1]]`` — 2x fewer MACs than giving each
+      neighbour window its own dense [3*2Ci, 2Co] dot, which brings the
+      formulation's total waste from 2x down to 4/3x of the logical
+      27-tap count.
+    """
+    ci, co = weight.shape[1], weight.shape[2]
+    w3 = weight.reshape(3, 3, 3, ci, co)        # [dx, dy, dz+1, ci, co]
+    z = jnp.zeros((3, ci, co), weight.dtype)
+    w0 = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([w3[:, dy, 1], w3[:, dy, 0]], axis=-1),
+                    jnp.concatenate([w3[:, dy, 2], w3[:, dy, 1]], axis=-1),
+                ],
+                axis=1,
+            )                                    # [3ax, 2ci, 2co]
+            for dy in range(3)
+        ],
+        axis=1,
+    ).reshape(3, 6 * ci, 2 * co)
+    wpm = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([w3[:, dy, 0], z], axis=-1),
+                    jnp.concatenate([z, w3[:, dy, 2]], axis=-1),
+                ],
+                axis=1,
+            )
+            for dy in range(3)
+        ],
+        axis=1,
+    ).reshape(3, 6 * ci, 2 * co)
+    return w0, wpm
+
+
 # Scoped-VMEM budget for one packed-kernel program.  The TPU compiler
 # enforces a 16 MB scoped-vmem limit for custom-call stack allocations;
 # leave ~2 MB headroom for vregs/temporaries.
@@ -288,13 +339,15 @@ def conv_plan(
             + 2 * 3 * (3 * ci) * _pad128(co)
         ) * 2
     else:
-        wbytes = 27 * ci2 * _pad128(co2) * 2
+        wbytes = 2 * 3 * (3 * ci2) * _pad128(co2) * 2
     yt = 16
     t_out = t_padded - 2
     for xw, db in ((8, True), (8, False), (4, True), (4, False)):
         inb = (2 if db else 1) * (xw + 2) * t_padded * 3 * yt * ci2 * 2
         mb = (inb // 2) if fused else 0      # int8 mask mirrors the input
         shift = (xw + 2) * t_padded * yt * 3 * ci2 * 2
+        if not slot_split:                   # + the combined-window buffer
+            shift += (xw + 2) * t_out * yt * 3 * ci2 * 2
         outb = xw * t_out * yt * _pad128(co2) * 2
         skipb = outb if fused else 0
         accb = xw * t_out * yt * _pad128(co2) * 4
@@ -349,22 +402,37 @@ def _tap_dots(
             )
             acc = acc + jnp.concatenate([dm, dp], axis=-1)
         return acc
-    (shift_buf,) = shift_bufs
-    (w_ref,) = w_refs
-    co2 = w_ref.shape[-1]
+    shift_buf, comb_buf = shift_bufs
+    w0_ref, wpm_ref = w_refs
+    co2 = w0_ref.shape[-1]
+    ci = ci2 // 2
     for dy in range(3):
         shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
             :, :, yt - 1 + dy : 2 * yt - 1 + dy
         ]
+    # Combined neighbour-window buffer: per dy, lanes [prev HI | next LO]
+    # (the single live slot of each neighbour z-pair) so BOTH windows ride
+    # one block-diagonal dot (see pm_tap_weights).  Sub-tile (Ci-wide)
+    # lane slices, but plain VMEM copies off the already-built shift rows.
+    for dy in range(3):
+        comb_buf[:, :, :, dy * ci2 : dy * ci2 + ci] = shift_buf[
+            :, 0:t_out, :, dy * ci2 + ci : (dy + 1) * ci2
+        ]
+        comb_buf[:, :, :, dy * ci2 + ci : (dy + 1) * ci2] = shift_buf[
+            :, 2 : 2 + t_out, :, dy * ci2 : dy * ci2 + ci
+        ]
     acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
-    for at in range(3):
-        for ax in range(3):
-            tap = shift_buf[ax : ax + xw, at : at + t_out]
-            acc = acc + jnp.dot(
-                tap.reshape(n, 3 * ci2),
-                w_ref[at, ax],
-                preferred_element_type=jnp.float32,
-            )
+    for ax in range(3):
+        acc = acc + jnp.dot(
+            shift_buf[ax : ax + xw, 1 : 1 + t_out].reshape(n, 3 * ci2),
+            w0_ref[ax],
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jnp.dot(
+            comb_buf[ax : ax + xw].reshape(n, 3 * ci2),
+            wpm_ref[ax],
+            preferred_element_type=jnp.float32,
+        )
     return acc
 
 
@@ -447,7 +515,10 @@ def _packed_kernel(
 def active_tiles_xy(
     occ_xy: jnp.ndarray, xw: int, yt: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Flat ids of occupied (xw, yt) xy tiles, padded to the tile count."""
+    """Flat ids of occupied (xw, yt) xy tiles, padded to the tile count.
+    Y rounds up to a tile multiple (matching :func:`pad_stage`); the
+    rounding tiles are unoccupied by construction."""
+    occ_xy = jnp.pad(occ_xy, ((0, 0), (0, (-occ_xy.shape[1]) % yt)))
     X, Y = occ_xy.shape
     bx, by = X // xw, Y // yt
     occ = occ_xy.reshape(bx, xw, by, yt).any(axis=(1, 3)).reshape(-1)
@@ -482,7 +553,10 @@ def _packed_conv_call(
             for _ in range(2)
         ]
     else:
-        shift_shapes = [pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype)]
+        shift_shapes = [
+            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, Tp - 2, yt, 3 * ci2), xp.dtype),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -679,7 +753,10 @@ def _fused_conv_call(
             for _ in range(2)
         ]
     else:
-        shift_shapes = [pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype)]
+        shift_shapes = [
+            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, Tp - 2, yt, 3 * ci2), xp.dtype),
+        ]
     ns = len(shift_shapes)
 
     out_shape = (
@@ -756,27 +833,30 @@ def stage_mask8(
         ],
         axis=-1,
     ).astype(jnp.int8)
-    return jnp.pad(m, ((1, 1), (1, 1), (yt, yt), (0, 0)))
+    return jnp.pad(m, ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0)))
 
 
 def pad_stage(x: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
-    """[X, T, Y, 2C] -> padded [X+2, T+2, Y+2yt, 2C] (fused-kernel input)."""
-    return jnp.pad(x, ((1, 1), (1, 1), (yt, yt), (0, 0)))
+    """[X, T, Y, 2C] -> padded [X+2, T+2, Ypad+2yt, 2C] (fused-kernel
+    input).  Y additionally rounds UP to a tile multiple so stages whose
+    extent is not 16-aligned (e.g. stride 4 of a 352 box -> 88) still run
+    the fused kernels; the extra cells are mask/tile-dead."""
+    return jnp.pad(x, ((1, 1), (1, 1), (yt, yt + (-x.shape[2]) % yt), (0, 0)))
 
 
-def unpad_stage(xp: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
-    """Interior of a padded stage buffer."""
-    return xp[1:-1, 1:-1, yt:-yt]
+def unpad_stage(xp: jnp.ndarray, yt: int = 16, y: int = None) -> jnp.ndarray:
+    """Interior of a padded stage buffer (``y`` = unpadded Y extent; None
+    means Y was already a tile multiple)."""
+    if y is None:
+        return xp[1:-1, 1:-1, yt:-yt]
+    return xp[1:-1, 1:-1, yt : yt + y]
 
 
 def _plan_weights(weight: jnp.ndarray, slot_split: bool, cd):
-    """Weight tuple for a plan: split blocks or the dense packed form."""
-    ci, co = weight.shape[1], weight.shape[2]
+    """Weight tuple for a plan: split blocks or the combined-window form."""
     if slot_split:
         return tuple(w.astype(cd) for w in split_tap_weights(weight))
-    return (
-        packed_tap_weight(weight).astype(cd).reshape(3, 3, 6 * ci, 2 * co),
-    )
+    return tuple(w.astype(cd) for w in pm_tap_weights(weight))
 
 
 def fused_packed_conv(
@@ -850,7 +930,7 @@ def block_sparse_packed_conv(
     c = c2 // 2
     co = weight.shape[-1]
     xw, yt, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)
-    assert X % xw == 0 and Y % yt == 0, (x.shape, xw, yt)
+    assert X % xw == 0, (x.shape, xw)
     lo, hi = mask[:, 0::2], mask[:, 1::2]
     xm = jnp.concatenate(
         [
@@ -859,9 +939,10 @@ def block_sparse_packed_conv(
         ],
         axis=-1,
     ).astype(cd)
-    # y pads a full tile per side so every tile's wide halo DMA slice stays
-    # sublane-tile aligned (Mosaic requires it for HBM slices).
-    xp = jnp.pad(xm, ((1, 1), (1, 1), (yt, yt), (0, 0)))
+    # y pads a full tile per side (plus rounding to a tile multiple) so
+    # every tile's wide halo DMA slice stays sublane-tile aligned (Mosaic
+    # requires it for HBM slices).
+    xp = jnp.pad(xm, ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0)))
     weights = _plan_weights(weight, slot_split, cd)
     b2 = (
         jnp.concatenate([bias, bias]).astype(jnp.float32)
@@ -872,7 +953,7 @@ def block_sparse_packed_conv(
     out = _packed_conv_call(
         xp, weights, b2, ids, n_active, xw, yt, slot_split, db
     )
-    return out.astype(x.dtype)
+    return out[:, :, :Y].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

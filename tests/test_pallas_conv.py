@@ -360,3 +360,72 @@ def test_fused_packed_conv_slot_split_matches_xla():
     sel = np.broadcast_to(act[:, None, :], (X, T, Y))
     d = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
     assert d[sel].max() < 2e-3, d[sel].max()
+
+
+def test_fused_packed_conv_y_tile_rounding():
+    """Y extents that are not a 16-multiple (e.g. stride-4 of a 352 box
+    -> 88) run the fused kernel via internal y rounding; outputs match
+    the XLA oracle on the logical extent."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2
+    from pasco_tpu.ops.pallas_conv import (
+        active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
+        stage_mask8, unpad_stage)
+
+    r = np.random.RandomState(21)
+    X, Z, Y, C = 16, 8, 24, 8          # Y % 16 == 8
+    T = Z // 2
+    x = jnp.asarray(r.randn(X, T, Y, 2 * C).astype(np.float32) * 0.3)
+    mask_np = r.rand(X, Z, Y) > 0.5
+    mask = jnp.asarray(mask_np)
+    w = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.1)
+    b = jnp.asarray(r.randn(C).astype(np.float32) * 0.1)
+
+    plan = conv_plan(2 * C, 2 * C, T + 2, fused=True)
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+
+    def msel(v):
+        cc = v.shape[-1] // 2
+        return jnp.concatenate(
+            [jnp.where(lo[..., None], v[..., :cc], 0),
+             jnp.where(hi[..., None], v[..., cc:], 0)], -1)
+
+    ref = conv3_packed_z2(msel(x), w, b)
+
+    with _interpret():
+        m8 = stage_mask8(mask, 2 * C)
+        ids, n = active_tiles_xy(mask.any(axis=1), plan[0], plan[1])
+        xp = pad_stage(x)
+        assert xp.shape[2] % plan[1] == 0
+        got_pad = fused_packed_conv(
+            xp, w, m8, ids, n, bias=b, out_padded=True, plan=plan,
+        )
+        got = unpad_stage(got_pad, y=Y)
+    assert got.shape == ref.shape
+    yr = -(-Y // plan[1]) * plan[1]
+    tile_act = np.pad(mask_np.any(1), ((0, 0), (0, yr - Y))).reshape(
+        X // plan[0], plan[0], yr // plan[1], plan[1]).any((1, 3))
+    act = np.repeat(np.repeat(tile_act, plan[0], 0), plan[1], 1)[:, :Y]
+    sel = np.broadcast_to(act[:, None, :], (X, T, Y))
+    d = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
+    assert d[sel].max() < 2e-3, d[sel].max()
+
+
+def test_block_sparse_packed_conv_y_tile_rounding():
+    """The non-fused packed conv also rounds Y internally and crops."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2
+    from pasco_tpu.ops.pallas_conv import block_sparse_packed_conv
+
+    r = np.random.RandomState(22)
+    X, Z, Y, C = 8, 8, 40, 8           # Y % 16 == 8
+    T = Z // 2
+    x = jnp.asarray(r.randn(X, T, Y, 2 * C).astype(np.float32) * 0.3)
+    mask = jnp.asarray(r.rand(X, Z, Y) > 0.5)
+    w = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.1)
+
+    ref = conv3_packed_z2(x, w, None, mask=mask)
+    with _interpret():
+        got = block_sparse_packed_conv(x, w, mask)
+    assert got.shape == ref.shape
+    # every xy tile is active at this density; compare everywhere
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    assert d.max() < 2e-3, d.max()
