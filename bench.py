@@ -33,6 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_SCAN_SEC = 0.703  # reference PaSCo-single inference time on V100
+BASELINE_SCAN_SEC_N3 = 1.193  # reference PaSCo (n_infers=3), README.md:449
 
 
 def _reduced(forward):
@@ -112,12 +113,31 @@ def main():
         scans_per_sec = 1.0 / dt
     else:
         cfg = PaSCoConfig()
+        # BENCH_INFERS=3 measures the ensemble-scale flagship (the
+        # reference's headline PaSCo config, README.md:428-459: each subnet
+        # sees a differently-augmented copy of the scan).
+        n_infers = int(os.environ.get("BENCH_INFERS", "1"))
+        if n_infers != 1:
+            cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, n_infers=n_infers)
+            )
         lw = labelweights_for(cfg, CLASS_FREQUENCIES)
         fixed = os.environ.get("BENCH_FIXED_BOX", "0") == "1"
         if fixed:
             cfg = cfg.replace(
                 scene=dataclasses.replace(cfg.scene, box_candidates=())
             )
+        if n_infers != 1:
+            from __graft_entry__ import _synthetic_model_input
+            from pasco_tpu.models.unet import build_net
+
+            net0 = build_net(cfg)
+            inp_init, _, _ = _synthetic_model_input(cfg)
+            variables = jax.jit(
+                lambda i: net0.init(
+                    {"params": jax.random.PRNGKey(0)}, i, lw, train=False
+                )
+            )(inp_init)
         adaptive = AdaptiveForward(cfg, lw)
         rfns = {
             cand: jax.jit(_reduced(adaptive.fn_for(cand)))
@@ -140,8 +160,14 @@ def main():
                 rng, max_angle=30.0, scale_range=0.0,
                 max_translation=(0.2, 0.2, 0.1),
             )
-            sub = process_scene(scene, T, rng)
-            col = collate([sub], cfg, rng=rng)
+            subs = [process_scene(scene, T, rng)]
+            for _ in range(n_infers - 1):
+                Ti = generate_random_transformation(
+                    rng, max_angle=30.0, scale_range=0.0,
+                    max_translation=(0.2, 0.2, 0.1),
+                )
+                subs.append(process_scene(scene, Ti, rng))
+            col = collate(subs, cfg, rng=rng)
             scans.append(scene_to_model_input(col))
 
         # Warm every candidate program that will be dispatched.
@@ -164,13 +190,16 @@ def main():
             lat.append(sorted(samples)[len(samples) // 2])
         scans_per_sec = 1.0 / float(np.mean(lat))
 
+    ni = int(os.environ.get("BENCH_INFERS", "1"))
+    base = BASELINE_SCAN_SEC_N3 if ni == 3 else BASELINE_SCAN_SEC
+    name = "inference_scans_per_sec" + ("" if ni == 1 else f"_n{ni}")
     print(
         json.dumps(
             {
-                "metric": "inference_scans_per_sec",
+                "metric": name,
                 "value": round(scans_per_sec, 3),
                 "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec * BASELINE_SCAN_SEC, 3),
+                "vs_baseline": round(scans_per_sec * base, 3),
             }
         )
     )
