@@ -499,17 +499,25 @@ def compact_src(
     inverse — scatter each of n cell indices to its prefix-sum slot —
     cost ~42 ms at the 4M-cell scale-1 extraction.  Two-level form: cells
     group into blocks of 32; block-of-output-slot comes from a G-update
-    boundary scatter (n/32 updates) + cumsum, and the within-block
-    position from a [capacity, 32] rank-comparison select over gathered
-    block rows.  Same result, ~10x fewer scatter updates.
+    boundary scatter (n/32 updates) + cumsum.  Each block's keep bits pack
+    into ONE uint32 word, so the within-block position is "select the
+    r-th set bit": a 5-step ``lax.population_count`` binary search, all
+    fused elementwise over [capacity].  (The previous rank-comparison
+    form gathered [capacity, 32] s32+pred block rows — ~64 MB of random
+    row reads at the 4M-cell/400k-cap scale-1 extraction versus ~1.6 MB
+    for the packed words.)
     """
     n = keep_f.shape[0]
     L = 32
     g = -(-n // L)
     pad = g * L - n
     k2 = jnp.pad(keep_f, (0, pad)).reshape(g, L)
-    lp = jnp.cumsum(k2.astype(jnp.int32), axis=1)       # inclusive ranks
-    cnt = lp[:, -1]
+    w = jnp.sum(
+        k2.astype(jnp.uint32) << jnp.arange(L, dtype=jnp.uint32)[None],
+        axis=1,
+        dtype=jnp.uint32,
+    )                                                   # [g] bit-packed keeps
+    cnt = jax.lax.population_count(w).astype(jnp.int32)
     coff = jnp.cumsum(cnt)
     total = coff[-1]
     off = jnp.concatenate([jnp.zeros((1,), cnt.dtype), coff[:-1]])
@@ -519,11 +527,19 @@ def compact_src(
     )
     blk = jnp.cumsum(marks[:capacity]) - 1              # covering block of j
     r = jnp.arange(capacity, dtype=jnp.int32) - off[blk]
-    lpe = lp[blk] - 1                                   # [cap, L] excl. ranks
-    sel = (lpe == r[:, None]) & k2[blk]
-    pos = jnp.sum(
-        jnp.where(sel, jnp.arange(L, dtype=jnp.int32)[None], 0), axis=1
-    )
+    wb = w[blk]                                         # [cap] words
+    # pos = index of the r-th (0-based) set bit of wb: binary search by
+    # popcount of the low half at each width.
+    pos = jnp.zeros((capacity,), jnp.int32)
+    rem = r
+    for width in (16, 8, 4, 2, 1):
+        low = ((jnp.uint32(1) << jnp.uint32(width)) - jnp.uint32(1)) << pos.astype(
+            jnp.uint32
+        )
+        c = jax.lax.population_count(wb & low).astype(jnp.int32)
+        hi = rem >= c
+        pos = pos + jnp.where(hi, width, 0)
+        rem = rem - jnp.where(hi, c, 0)
     src = blk * L + pos
     valid = jnp.arange(capacity) < jnp.minimum(total, capacity)
     return src, valid, total
