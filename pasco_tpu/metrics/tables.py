@@ -79,6 +79,7 @@ def format_uncertainty_table(
     lines = []
     header = (
         f"{'Method':<12}| {'ins ECE':>8} {'ins NLL':>8} "
+        f"{'ins Brier':>9} {'ins FPR95':>9} "
         f"| {'ssc ECE ne':>10} {'ssc ECE e':>10} "
         f"| {'ssc NLL ne':>10} {'ssc NLL e':>10}"
     )
@@ -88,6 +89,7 @@ def format_uncertainty_table(
         u, ssc = s["uncertainty"], s["ssc"]
         lines.append(
             f"{name:<12}| {u['ins_ece']:8.4f} {u['ins_nll']:8.4f} "
+            f"{u.get('ins_brier', 0.0):9.4f} {u.get('ins_fpr95', 0.0):9.4f} "
             f"| {ssc['nonempty_ece']:10.4f} {ssc['empty_ece']:10.4f} "
             f"| {ssc['nonempty_nll']:10.4f} {ssc['empty_nll']:10.4f}"
         )

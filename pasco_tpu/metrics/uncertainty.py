@@ -78,10 +78,19 @@ class UncertaintyMetrics:
             nll = float(
                 np.mean(-np.log(probs[np.arange(len(labels)), labels] + 1e-8))
             )
+            brier = brier_score(probs, labels)
         else:
             nll = 0.0
+            brier = 0.0
         ins_ece = (
             binary_calibration_error(
+                np.asarray(self.ins_confs), np.asarray(self.ins_correct)
+            )
+            if self.ins_confs
+            else 0.0
+        )
+        fpr95 = (
+            fpr_at_95_tpr(
                 np.asarray(self.ins_confs), np.asarray(self.ins_correct)
             )
             if self.ins_confs
@@ -91,6 +100,8 @@ class UncertaintyMetrics:
             "mask_ece": mask_ece,
             "ins_ece": ins_ece,
             "ins_nll": nll,
+            "ins_brier": brier,
+            "ins_fpr95": fpr95,
             "count": len(self.ins_confs),
         }
 
