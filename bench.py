@@ -176,19 +176,38 @@ def main():
             s = scans[per_scan.index(cand)]
             jax.block_until_ready(rfns[cand](variables, s))
 
-        # Honest timing: each sample fetches a scalar reduction of the
-        # outputs to the host (block_until_ready does not reliably wait for
-        # remote execution on this backend).
-        lat = []
-        for s, cand in zip(scans, per_scan):
-            rfn = rfns[cand]
-            samples = []
-            for _ in range(n_iters):
-                t0 = time.perf_counter()
-                np.asarray(rfn(variables, s))
-                samples.append(time.perf_counter() - t0)
-            lat.append(sorted(samples)[len(samples) // 2])
-        scans_per_sec = 1.0 / float(np.mean(lat))
+        if os.environ.get("BENCH_PIPELINED", "0") == "1":
+            # Pipelined throughput: dispatch every scan back-to-back and
+            # fetch once at the end — steady-state serving, amortises the
+            # host->device round trip that the per-scan protocol pays per
+            # sample.  Secondary protocol (PERF.md); the default stays the
+            # reference-comparable per-scan latency below.
+            reps = max(n_iters, 2)
+            outs = [rfns[c](variables, s) for s, c in zip(scans, per_scan)]
+            np.asarray(sum(outs))  # warm + sync
+            t0 = time.perf_counter()
+            outs = []
+            for _ in range(reps):
+                outs.extend(
+                    rfns[c](variables, s) for s, c in zip(scans, per_scan)
+                )
+            np.asarray(sum(outs))
+            dt = (time.perf_counter() - t0) / (reps * len(scans))
+            scans_per_sec = 1.0 / dt
+        else:
+            # Honest timing: each sample fetches a scalar reduction of the
+            # outputs to the host (block_until_ready does not reliably wait
+            # for remote execution on this backend).
+            lat = []
+            for s, cand in zip(scans, per_scan):
+                rfn = rfns[cand]
+                samples = []
+                for _ in range(n_iters):
+                    t0 = time.perf_counter()
+                    np.asarray(rfn(variables, s))
+                    samples.append(time.perf_counter() - t0)
+                lat.append(sorted(samples)[len(samples) // 2])
+            scans_per_sec = 1.0 / float(np.mean(lat))
 
     ni = int(os.environ.get("BENCH_INFERS", "1"))
     base = BASELINE_SCAN_SEC_N3 if ni == 3 else BASELINE_SCAN_SEC
