@@ -262,3 +262,103 @@ class MLP(nn.Module):
         for i in range(self.num_layers - 1):
             x = nn.relu(nn.Dense(self.hidden_dim)(x))
         return nn.Dense(self.output_dim)(x)
+
+
+def submanifold_maxpool(
+    grid: SparseGrid, box: Box, kernel_size: int
+) -> SparseGrid:
+    """Stride-1 sparse max-pool over a ``kernel_size^3`` neighbourhood
+    (``ME.MinkowskiMaxPooling(ks, stride=1)``): per output cell, the max
+    over existing neighbours' features (the cell itself always exists)."""
+    from pasco_tpu.ops.sparse_conv import build_rulebook
+
+    rb = build_rulebook(grid.coords, grid.mask, box, grid.stride, kernel_size)
+    feats = grid.masked_feats()
+    neg = jnp.asarray(-jnp.inf, feats.dtype)
+
+    def tap(acc, kr):
+        rows, found = kr
+        v = jnp.where(found[:, None], feats[rows], neg)
+        return jnp.maximum(acc, v), None
+
+    acc0 = jnp.full(feats.shape, neg, feats.dtype)
+    acc, _ = jax.lax.scan(tap, acc0, (rb.rows, rb.found))
+    out = jnp.where(grid.mask[:, None], acc, 0)
+    return grid.with_feats(out)
+
+
+class CAM(nn.Module):
+    """Context attention module (reference ``layers.py:60-78``): gate each
+    cell's features by sigmoid(1x1(relu(1x1(maxpool7(x)))))."""
+
+    planes: int
+    reduction: int = 2
+
+    @nn.compact
+    def __call__(self, grid: SparseGrid, box: Box) -> SparseGrid:
+        y = submanifold_maxpool(grid, box, kernel_size=7)
+        h = nn.Dense(self.planes // self.reduction, name="fc1")(y.feats)
+        h = nn.relu(h)
+        h = nn.Dense(self.planes, name="fc2")(h)
+        gate = jax.nn.sigmoid(h)
+        return grid.with_feats(
+            jnp.where(grid.mask[:, None], grid.feats * gate, 0)
+        )
+
+
+class PointwiseConvMultiheads(nn.Module):
+    """Block-diagonal (per-head) 1x1 conv (reference ``layers.py:111-135``):
+    the kernel is masked so head i's output channels only read head i's
+    input channels."""
+
+    in_planes: int
+    planes: int
+    n_heads: int = 1
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_planes, self.planes),
+        )
+        ih = self.in_planes // self.n_heads
+        oh = self.planes // self.n_heads
+        hin = jnp.arange(self.in_planes) // ih
+        hout = jnp.arange(self.planes) // oh
+        blockmask = (hin[:, None] == hout[None, :]).astype(w.dtype)
+        return feats @ (w * blockmask)
+
+
+class DepthwiseSeparableConvMultiheads(nn.Module):
+    """Channelwise (depthwise) sparse conv + per-head pointwise mix
+    (reference ``layers.py:178-192``)."""
+
+    planes: int
+    kernel_size: int = 3
+    n_heads: int = 1
+
+    @nn.compact
+    def __call__(self, grid: SparseGrid, box: Box) -> SparseGrid:
+        from pasco_tpu.ops.sparse_conv import build_rulebook
+
+        k = self.kernel_size**3
+        w = self.param(
+            "depthwise", _conv_init, (k, self.planes, 1)
+        )[..., 0]                                     # [K, C] channelwise
+        rb = build_rulebook(
+            grid.coords, grid.mask, box, grid.stride, self.kernel_size
+        )
+        feats = grid.masked_feats()
+
+        def tap(acc, krw):
+            rows, found, wk = krw
+            return acc + jnp.where(found[:, None], feats[rows], 0) * wk, None
+
+        acc0 = jnp.zeros(feats.shape, feats.dtype)
+        acc, _ = jax.lax.scan(tap, acc0, (rb.rows, rb.found, w))
+        out = PointwiseConvMultiheads(
+            self.planes, self.planes, self.n_heads, name="pointwise"
+        )(acc)
+        out = jnp.where(grid.mask[:, None], out, 0).astype(grid.feats.dtype)
+        return grid.with_feats(out)

@@ -184,3 +184,64 @@ def test_negative_coords():
     got_c = np.asarray(out.coords)[om][0]
     np.testing.assert_array_equal(got_c, [0, -2, -2, 0])
     np.testing.assert_allclose(np.asarray(out.feats)[om][0], [4.0, 6.0])
+
+
+def test_cam_and_depthwise_multiheads():
+    """Experimental layers (reference layers.py:60-78,111-192): CAM gating
+    and the depthwise + per-head pointwise conv."""
+    import jax
+    from pasco_tpu.models.blocks import (
+        CAM, DepthwiseSeparableConvMultiheads, PointwiseConvMultiheads,
+        submanifold_maxpool)
+
+    rng = np.random.RandomState(3)
+    grid, box, occ, df = build_random(rng, 40, 64, (8, 8, 4), 8)
+
+    # maxpool oracle: per occupied cell, max over existing 3^3 neighbours
+    pooled = submanifold_maxpool(grid, box, 3)
+    pn = np.asarray(pooled.feats)
+    coords = np.asarray(grid.coords)
+    for i in range(40):
+        x, y, z = coords[i, 1:]
+        vals = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    sx, sy, sz = x + dx, y + dy, z + dz
+                    if (0 <= sx < 8 and 0 <= sy < 8 and 0 <= sz < 4
+                            and occ[sx, sy, sz]):
+                        vals.append(df[sx, sy, sz])
+        ref = np.max(np.stack(vals), axis=0)
+        np.testing.assert_allclose(pn[i], ref, rtol=1e-6)
+
+    cam = CAM(planes=8)
+    v = cam.init(jax.random.PRNGKey(0), grid, box)
+    out = cam.apply(v, grid, box)
+    o = np.asarray(out.feats)
+    assert np.all(np.abs(o[:40]) <= np.abs(np.asarray(grid.feats[:40])) + 1e-6)
+    assert np.all(o[40:] == 0)
+
+    # block-diagonal pointwise: head 0's outputs ignore head 1's inputs
+    pw = PointwiseConvMultiheads(8, 8, n_heads=2)
+    vp = pw.init(jax.random.PRNGKey(1), jnp.ones((4, 8)))
+    f0 = pw.apply(vp, jnp.asarray(rng.randn(4, 8), jnp.float32))
+    f1 = pw.apply(
+        vp,
+        jnp.asarray(rng.randn(4, 8), jnp.float32)
+        .at[:, 4:].set(0.0)
+        .at[:, :4].set(f0[:, :4] * 0 + 1),
+    )
+    x_a = jnp.zeros((4, 8)).at[:, :4].set(1.0)
+    x_b = x_a.at[:, 4:].set(99.0)
+    np.testing.assert_allclose(
+        np.asarray(pw.apply(vp, x_a))[:, :4],
+        np.asarray(pw.apply(vp, x_b))[:, :4],
+        rtol=1e-6,
+    )
+
+    ds = DepthwiseSeparableConvMultiheads(planes=8, n_heads=2)
+    vd = ds.init(jax.random.PRNGKey(2), grid, box)
+    out = ds.apply(vd, grid, box)
+    assert out.feats.shape == grid.feats.shape
+    assert np.all(np.isfinite(np.asarray(out.feats)))
+    assert np.all(np.asarray(out.feats)[40:] == 0)
