@@ -162,11 +162,16 @@ def downscale_labels(
         geo = geo.astype(np.float32)
         geo[all_unknown] = 255
 
-        # Majority class over occupied children (one-hot avg-pool argmax).
-        counts = np.zeros((xs, ys, zs, n_classes), np.int32)
-        lv = view(lbl)
-        for c in range(1, n_classes):
-            counts[..., c] = (lv == c).sum(axis=(1, 3, 5))
+        # Majority class over occupied children (one-hot avg-pool argmax),
+        # as ONE bincount over cell*C + class instead of n_classes full-grid
+        # comparison passes (the loop was ~1.5 s/scene at scale 2).
+        lv = view(lbl).transpose(0, 2, 4, 1, 3, 5).reshape(xs, ys, zs, -1)
+        valid = (lv >= 1) & (lv < n_classes)
+        cell = np.arange(xs * ys * zs, dtype=np.int64).reshape(xs, ys, zs, 1)
+        idx = (cell * n_classes + lv)[valid]
+        counts = np.bincount(
+            idx, minlength=xs * ys * zs * n_classes
+        ).reshape(xs, ys, zs, n_classes).astype(np.int32)
         sem = counts.argmax(-1)
         no_occ = counts.sum(-1) == 0
         sem = np.where(no_occ & all_unknown, 255, sem)
