@@ -235,25 +235,18 @@ def process_scene(
     inst = sample.instance_label.astype(np.int64)
 
     # --- hole-free resample of the label grids through T -----------------
+    # sem and inst ride ONE back-projection: the instance warp uses the
+    # sem bounds (reference semantics), so its grid/backproject pass is
+    # identical — stacking the value channels halves the warp cost.
     sem_coords = np.argwhere(sem != 255)
-    sem_vals, new_coords, bnd = transform_scene(
-        sem_coords, T, (sem + 1)[None].astype(np.float32)
-    )
-    nz = sem_vals[:, 0] != 0
-    sem_vals = sem_vals[nz, 0].astype(np.int64) - 1
+    both = np.stack([sem + 1, inst]).astype(np.float32)
+    vals2, new_coords, bnd = transform_scene(sem_coords, T, both)
+    nz = vals2[:, 0] != 0
+    sem_vals = vals2[nz, 0].astype(np.int64) - 1
     sem_coords_t = new_coords[nz]
-
-    inst_coords = np.argwhere(inst != 0)
-    if len(inst_coords):
-        inst_vals, inst_coords_t, _ = transform_scene(
-            inst_coords, T, (inst + 1)[None].astype(np.float32), to_coords_bnd=bnd
-        )
-        nz = inst_vals[:, 0] != 0
-        inst_vals = inst_vals[nz, 0].astype(np.int64) - 1
-        inst_coords_t = inst_coords_t[nz]
-    else:
-        inst_vals = np.zeros((0,), np.int64)
-        inst_coords_t = np.zeros((0, 3), np.int32)
+    inz = vals2[:, 1] != 0
+    inst_vals = vals2[inz, 1].astype(np.int64)
+    inst_coords_t = new_coords[inz]
 
     # --- input points: voxelize then transform coords --------------------
     coords, off_feats = voxelize_points(sample.xyz)

@@ -111,10 +111,17 @@ def grid_coords(dims: Sequence[int]) -> np.ndarray:
 def sample_grid(values: np.ndarray, coords: np.ndarray, fill=0) -> np.ndarray:
     """Nearest sample ``values [C, X, Y, Z]`` at integer coords [N, 3];
     out-of-range -> fill (grid_sample nearest + zero padding equivalent)."""
-    shape = np.asarray(values.shape[1:])
-    ok = np.all((coords >= 0) & (coords < shape[None, :]), axis=1)
-    c = np.clip(coords, 0, shape[None, :] - 1)
-    out = values[:, c[:, 0], c[:, 1], c[:, 2]]
+    X, Y, Z = values.shape[1:]
+    cx = np.clip(coords[:, 0], 0, X - 1)
+    cy = np.clip(coords[:, 1], 0, Y - 1)
+    cz = np.clip(coords[:, 2], 0, Z - 1)
+    ok = (
+        (coords[:, 0] >= 0) & (coords[:, 0] < X)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < Y)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < Z)
+    )
+    flat = (cx * Y + cy) * Z + cz
+    out = values.reshape(values.shape[0], -1)[:, flat]
     return np.where(ok[None, :], out, fill)
 
 
