@@ -348,22 +348,26 @@ class DenseResBlock(nn.Module):
         m8, ids, n_act = fused_ctx
         plan = self.fused_plan
         cd = self.compute_dtype
+        # Chain buffers may be lane-folded (ops/pallas_conv.py:lane_fold),
+        # so BN/conv parameter shapes are inferred from a logical-lane
+        # shape token, not from the buffer itself.
+        tok = jnp.zeros((1, 1, 1, 2 * self.out_channels), xpad.dtype)
         a1, c1 = DenseBN(self.axis_name, packed=True, name="bn1")(
-            xpad, mask, train, affine_only=True
+            tok, mask, train, affine_only=True
         )
         w1, b1 = DenseConv(
             self.out_channels, 3, compute_dtype=cd, packed=True, name="conv1"
-        )(xpad, mask, params_only=True)
+        )(tok, mask, params_only=True)
         f = fused_packed_conv(
             xpad, w1, m8, ids, n_act, affine=(a1, c1), relu=True, bias=b1,
             out_padded=True, compute_dtype=cd, plan=plan,
         )
         a2, c2 = DenseBN(self.axis_name, packed=True, name="bn2")(
-            f, mask, train, affine_only=True
+            tok, mask, train, affine_only=True
         )
         w2, b2 = DenseConv(
             self.out_channels, 3, compute_dtype=cd, packed=True, name="conv2"
-        )(f, mask, params_only=True)
+        )(tok, mask, params_only=True)
         return fused_packed_conv(
             f, w2, m8, ids, n_act, affine=(a2, c2), relu=True, bias=b2,
             skip=xpad, out_padded=True, compute_dtype=cd, plan=plan,
@@ -460,7 +464,10 @@ class DenseEncStage(nn.Module):
                 )(xpad, mask, train, ctx)
             # stage-final mask: the next stage's XLA down conv reads every
             # cell, so empties must be exact zeros.
-            return _mm(unpad_stage(xpad, y=x.shape[2]), mask, True), mask
+            return (
+                _mm(unpad_stage(xpad, y=x.shape[2], c2=x.shape[-1]), mask, True),
+                mask,
+            )
         for i in range(self.n_res):
             # Only the stage-final block masks its output: the stage feeds
             # an XLA down conv (a strided matmul that reads every cell);
@@ -574,7 +581,7 @@ class DenseDecoderStage(nn.Module):
                     fused_plan=plan, name=f"res{ri}",
                 )(xpad, msk, train, ctx)
             # Decoder output needs no mask (heads/extraction re-mask).
-            x = unpad_stage(xpad, y=x.shape[2])
+            x = unpad_stage(xpad, y=x.shape[2], c2=x.shape[-1])
         else:
             for ri in range(self.n_res):
                 # Decoder blocks never need the output mask in lean mode:

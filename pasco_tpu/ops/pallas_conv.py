@@ -320,6 +320,24 @@ def _pad128(v: int) -> int:
     return -(-v // 128) * 128
 
 
+def lane_fold(ci2: int, co2: int, t_out: int) -> int:
+    """HBM lane-fold factor for a packed-conv stage.
+
+    Narrow stages (2Ci < 128 lanes) get their HBM buffers lane-PADDED to
+    the 128 tile by Mosaic — a [.., 32]-lane bf16 chain volume physically
+    stores (and every tile DMA moves) 4x its logical bytes (measured: the
+    s1 memref compiles as ``[.., 384, 128] bf16``).  Folding ``p`` z-pair
+    rows into those otherwise-dead lanes (t = p*(t'-1) + q for lane block
+    q) makes the DMA move useful data only; the kernel unpacks to the
+    z-pair compute layout in VMEM (free-dim lane-slice copies, the same
+    class of op as the combined-window buffer build).
+    """
+    if ci2 != co2 or ci2 >= 128 or 128 % ci2 != 0:
+        return 1
+    p = 128 // ci2
+    return p if t_out % p == 0 else 1
+
+
 def conv_plan(
     ci2: int, co2: int, t_padded: int, fused: bool
 ) -> Tuple[int, int, bool, bool]:
@@ -342,16 +360,20 @@ def conv_plan(
         wbytes = 2 * 3 * (3 * ci2) * _pad128(co2) * 2
     yt = 16
     t_out = t_padded - 2
+    p = lane_fold(ci2, co2, t_out)
+    tp_rows = t_out // p + 2              # packed t' rows DMAed per tile
     for xw, db in ((8, True), (8, False), (4, True), (4, False)):
-        inb = (2 if db else 1) * (xw + 2) * t_padded * 3 * yt * ci2 * 2
+        inb = (2 if db else 1) * (xw + 2) * tp_rows * 3 * yt * p * ci2 * 2
         mb = (inb // 2) if fused else 0      # int8 mask mirrors the input
+        # unpacked compute view (lane-padded in VMEM like all buffers)
+        comp = (xw + 2) * t_padded * 3 * yt * _pad128(ci2) * 2 if p > 1 else 0
         shift = (xw + 2) * t_padded * yt * 3 * ci2 * 2
         if not slot_split:                   # + the combined-window buffer
             shift += (xw + 2) * t_out * yt * 3 * ci2 * 2
         outb = xw * t_out * yt * _pad128(co2) * 2
         skipb = outb if fused else 0
         accb = xw * t_out * yt * _pad128(co2) * 4
-        total = inb + mb + shift + outb + skipb + accb + wbytes
+        total = inb + mb + comp + shift + outb + skipb + accb + wbytes
         if total <= _SCOPED_VMEM_BUDGET:
             return xw, yt, db, slot_split
     return 4, yt, False, slot_split
@@ -436,16 +458,54 @@ def _tap_dots(
     return acc
 
 
+def _unfold_halo(y, p, t_padded, c2):
+    """[xw+2, T/p+2, yw, p*c2] lane-folded value -> [xw+2, t_padded, yw, c2]
+    z-pair compute view; logical t = p*(t'-1) + q for lane block q (row 0 /
+    last-row surplus blocks are zero padding by construction)."""
+    if p == 1:
+        return y
+    cols = []
+    for tt in range(t_padded):            # tt = logical t + 1
+        r, q = (tt - 1 + p) // p, (tt - 1 + p) % p
+        cols.append(y[:, r, :, q * c2 : (q + 1) * c2])
+    return jnp.stack(cols, axis=1)
+
+
+def _unfold_interior(y, p, t_out, c2):
+    """[xw, T/p, yw, p*c2] interior-rows value -> [xw, T, yw, c2]."""
+    if p == 1:
+        return y
+    cols = [
+        y[:, tt // p, :, (tt % p) * c2 : (tt % p + 1) * c2]
+        for tt in range(t_out)
+    ]
+    return jnp.stack(cols, axis=1)
+
+
+def _fold_interior(a, p, c2):
+    """[xw, T, yw, c2] -> [xw, T/p, yw, p*c2] (inverse of
+    :func:`_unfold_interior`)."""
+    if p == 1:
+        return a
+    rows = [
+        jnp.concatenate(
+            [a[:, p * r + q] for q in range(p)], axis=-1
+        )
+        for r in range(a.shape[1] // p)
+    ]
+    return jnp.stack(rows, axis=1)
+
+
 def _packed_kernel(
     ids_ref,                # SMEM [n_tiles] flat tile id
     n_active_ref,           # SMEM [1]
-    xp_ref,                 # HBM [X+2, T+2, Y+2yt, 2Ci] padded masked input
+    xp_ref,                 # HBM [X+2, T/p+2, Y+2yt, p*2Ci] padded masked
     w_refs,                 # VMEM weight refs (layout per slot_split)
     bias_ref,               # VMEM [1, 2Co] (zeros when no bias)
-    out_ref,                # HBM [X, T, Y, 2Co]
-    in_bufs,                # VMEM [nbuf, xw+2, T+2, 3*yt, 2Ci]
+    out_ref,                # HBM [X, T/p, Y, p*2Co]
+    in_bufs,                # VMEM [nbuf, xw+2, T/p+2, 3*yt, p*2Ci]
     shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
-    out_buf,                # VMEM [xw, T, yt, 2Co]
+    out_buf,                # VMEM [xw, T/p, yt, p*2Co]
     in_sems,                # DMA sems (nbuf,)
     out_sem,
     *,
@@ -455,6 +515,7 @@ def _packed_kernel(
     by: int,
     slot_split: bool,
     db: bool,
+    p: int = 1,
 ):
     g = pl.program_id(0)
     n_act = n_active_ref[0]
@@ -496,12 +557,15 @@ def _packed_kernel(
             dma.start()
             dma.wait()
 
-        co2 = out_buf.shape[-1]
+        co2 = out_buf.shape[-1] // p
+        ib = _unfold_halo(in_bufs[slot], p, t_out + 2, in_bufs.shape[-1] // p)
         acc = _tap_dots(
-            in_bufs[slot], shift_bufs, w_refs, bias_ref,
+            ib, shift_bufs, w_refs, bias_ref,
             xw=xw, yt=yt, t_out=t_out, slot_split=slot_split,
         )
-        out_buf[...] = acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype)
+        out_buf[...] = _fold_interior(
+            acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype), p, co2
+        )
         tid = ids_ref[g]
         copy_out = pltpu.make_async_copy(
             out_buf,
@@ -533,15 +597,19 @@ def active_tiles_xy(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("xw", "yt", "slot_split", "db")
+    jax.jit, static_argnames=("xw", "yt", "slot_split", "db", "p")
 )
 def _packed_conv_call(
-    xp, weights, bias2, ids, n_active, xw, yt, slot_split, db
+    xp, weights, bias2, ids, n_active, xw, yt, slot_split, db, p=1
 ):
     """``weights`` is the tuple from :func:`split_tap_weights` when
-    ``slot_split`` else a 1-tuple of the dense packed weight."""
-    Xp, Tp, Yp, ci2 = xp.shape
-    X, T, Y = Xp - 2, Tp - 2, Yp - 2 * yt  # y is padded a full tile per side
+    ``slot_split`` else a 1-tuple of the dense packed weight.  ``p`` is the
+    HBM lane-fold factor (:func:`lane_fold`): ``xp``/output rows carry
+    ``p`` z-pair slots in their lanes."""
+    Xp, Tpf, Yp, cif = xp.shape
+    ci2 = cif // p
+    X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * yt
+    Tp = T + 2
     co2 = weights[0].shape[-1]
     by = Y // yt
     nw = len(weights)
@@ -569,9 +637,9 @@ def _packed_conv_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, Tpf, 3 * yt, cif), xp.dtype),
             *shift_shapes,
-            pltpu.VMEM((xw, T, yt, co2), xp.dtype),
+            pltpu.VMEM((xw, T // p, yt, p * co2), xp.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -588,15 +656,15 @@ def _packed_conv_call(
         _packed_kernel(ids_ref, n_ref, xp_ref, w_refs, b_ref, out_ref,
                        in_bufs, shift_bufs, out_buf, in_sems, out_sem,
                        xw=xw, yt=yt, t_out=T, by=by,
-                       slot_split=slot_split, db=db)
+                       slot_split=slot_split, db=db, p=p)
 
-    out0 = jnp.zeros((X, T, Y, co2), xp.dtype)
+    out0 = jnp.zeros((X, T // p, Y, p * co2), xp.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # operand order: ids, n_active, xp, *weights, bias2, out0
         input_output_aliases={4 + nw: 0},
-        out_shape=jax.ShapeDtypeStruct((X, T, Y, co2), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((X, T // p, Y, p * co2), xp.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids, n_active, xp, *weights, bias2, out0)
 
@@ -636,7 +704,7 @@ def _fused_kernel(
     *,
     xw: int, yt: int, t_out: int, by: int,
     apply_affine: bool, apply_relu: bool, has_skip: bool, out_padded: bool,
-    slot_split: bool, db: bool,
+    slot_split: bool, db: bool, p: int = 1,
 ):
     g = pl.program_id(0)
     n_act = n_active_ref[0]
@@ -668,7 +736,8 @@ def _fused_kernel(
         if has_skip:
             skip_dma = pltpu.make_async_copy(
                 skip_ref.at[
-                    pl.ds(x0 + 1, xw), pl.ds(1, t_out), pl.ds(yt + y0, yt)
+                    pl.ds(x0 + 1, xw), pl.ds(1, t_out // p),
+                    pl.ds(yt + y0, yt),
                 ],
                 skip_buf,
                 skip_sem,
@@ -692,12 +761,15 @@ def _fused_kernel(
             d1.wait()
             d2.wait()
 
-        co2 = out_buf.shape[-1]
+        co2 = out_buf.shape[-1] // p
+        ci2 = in_bufs.shape[-1] // p
         n = xw * t_out * yt
 
-        # Prologue: y = [relu](a*x + c) masked, on the wide tile in place.
-        # Select (not multiply): the chain's HBM buffers are uninitialised
-        # outside active tiles, and NaN*0 would be NaN.
+        # Prologue: y = [relu](a*x + c) masked, on the (lane-folded) wide
+        # tile in place.  Select (not multiply): the chain's HBM buffers
+        # are uninitialised outside active tiles, and NaN*0 would be NaN.
+        # The affine rows arrive pre-tiled to the folded lane count, so the
+        # prologue runs on 1/p the vregs of the unfolded form.
         x = in_bufs[slot]
         if apply_affine:
             a = aff_ref[0].astype(x.dtype)
@@ -710,17 +782,21 @@ def _fused_kernel(
         in_bufs[slot] = jnp.where(m_bufs[slot] != 0, y, 0)
 
         acc = _tap_dots(
-            in_bufs[slot], shift_bufs, w_refs, bias_ref,
+            _unfold_halo(in_bufs[slot], p, t_out + 2, ci2),
+            shift_bufs, w_refs, bias_ref,
             xw=xw, yt=yt, t_out=t_out, slot_split=slot_split,
         )
         if has_skip:
             skip_dma.wait()
-            acc = acc + skip_buf[...].reshape(n, co2).astype(jnp.float32)
+            sk = _unfold_interior(skip_buf[...], p, t_out, co2)
+            acc = acc + sk.reshape(n, co2).astype(jnp.float32)
             acc = jnp.maximum(acc, 0)
-        out_buf[...] = acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype)
+        out_buf[...] = _fold_interior(
+            acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype), p, co2
+        )
         if out_padded:
             dst = out_ref.at[
-                pl.ds(x0 + 1, xw), pl.ds(1, t_out), pl.ds(yt + y0, yt)
+                pl.ds(x0 + 1, xw), pl.ds(1, t_out // p), pl.ds(yt + y0, yt)
             ]
         else:
             dst = out_ref.at[pl.ds(x0, xw), :, pl.ds(y0, yt)]
@@ -733,15 +809,18 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "xw", "yt", "apply_affine", "apply_relu", "has_skip", "out_padded",
-        "slot_split", "db",
+        "slot_split", "db", "p",
     ),
 )
 def _fused_conv_call(
     xp, m8, weights, aff, bias2, skip, ids, n_active,
     xw, yt, apply_affine, apply_relu, has_skip, out_padded, slot_split, db,
+    p=1,
 ):
-    Xp, Tp, Yp, ci2 = xp.shape
-    X, T, Y = Xp - 2, Tp - 2, Yp - 2 * yt
+    Xp, Tpf, Yp, cif = xp.shape
+    ci2 = cif // p
+    X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * yt
+    Tp = T + 2
     co2 = weights[0].shape[-1]
     by = Y // yt
     nw = len(weights)
@@ -760,7 +839,9 @@ def _fused_conv_call(
     ns = len(shift_shapes)
 
     out_shape = (
-        (Xp, Tp, Yp, co2) if out_padded else (X, T, Y, co2)
+        (Xp, Tpf, Yp, p * co2)
+        if out_padded
+        else (X, T // p, Y, p * co2)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -775,11 +856,11 @@ def _fused_conv_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, xw + 2, Tp, 3 * yt, ci2), xp.dtype),
-            pltpu.VMEM((nbuf, xw + 2, Tp, 3 * yt, ci2), jnp.int8),
+            pltpu.VMEM((nbuf, xw + 2, Tpf, 3 * yt, cif), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, Tpf, 3 * yt, cif), jnp.int8),
             *shift_shapes,
-            pltpu.VMEM((xw, T, yt, co2), xp.dtype),
-            pltpu.VMEM((xw, T, yt, co2), xp.dtype),
+            pltpu.VMEM((xw, T // p, yt, p * co2), xp.dtype),
+            pltpu.VMEM((xw, T // p, yt, p * co2), xp.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
@@ -802,7 +883,7 @@ def _fused_conv_call(
             xw=xw, yt=yt, t_out=T, by=by,
             apply_affine=apply_affine, apply_relu=apply_relu,
             has_skip=has_skip, out_padded=out_padded,
-            slot_split=slot_split, db=db,
+            slot_split=slot_split, db=db, p=p,
         )
 
     # The output buffer is deliberately UNINITIALISED outside active tiles
@@ -816,15 +897,43 @@ def _fused_conv_call(
     )(ids, n_active, xp, m8, *weights, aff, bias2, skip)
 
 
+def _fold_t(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[X, T, Y, c] -> [X, T/p, Y, p*c]: lane block q of row t' holds
+    logical t = p*t' + q (one relayout pass; see :func:`lane_fold`)."""
+    if p == 1:
+        return x
+    X, T, Y, c = x.shape
+    return (
+        x.reshape(X, T // p, p, Y, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(X, T // p, Y, p * c)
+    )
+
+
+def _unfold_t(x: jnp.ndarray, p: int, c: int) -> jnp.ndarray:
+    """Inverse of :func:`_fold_t`."""
+    if p == 1:
+        return x
+    X, Tf, Y, _ = x.shape
+    return (
+        x.reshape(X, Tf, Y, p, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(X, Tf * p, Y, c)
+    )
+
+
 def stage_mask8(
     mask: jnp.ndarray,        # [X, 2T, Y] logical occupancy
     channels2: int,           # 2C lane count of the stage
     yt: int = 16,
 ) -> jnp.ndarray:
-    """Lane-expanded padded int8 mask [X+2, T+2, Y+2yt, 2C] for the fused
-    kernel's prologue; built once per stage and shared by all its convs."""
+    """Lane-expanded padded int8 mask [X+2, T/p+2, Y+2yt, p*2C] for the
+    fused kernel's prologue; built once per stage and shared by all its
+    convs.  Narrow stages lane-fold p z-pair rows (:func:`lane_fold`);
+    the zero t'-padding doubles as the fold's surplus-slot zeros."""
     X, Z, Y = mask.shape
     c = channels2 // 2
+    p = lane_fold(channels2, channels2, Z // 2)
     lo, hi = mask[:, 0::2], mask[:, 1::2]
     m = jnp.concatenate(
         [
@@ -833,23 +942,34 @@ def stage_mask8(
         ],
         axis=-1,
     ).astype(jnp.int8)
+    m = _fold_t(m, p)
     return jnp.pad(m, ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0)))
 
 
 def pad_stage(x: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
-    """[X, T, Y, 2C] -> padded [X+2, T+2, Ypad+2yt, 2C] (fused-kernel
-    input).  Y additionally rounds UP to a tile multiple so stages whose
-    extent is not 16-aligned (e.g. stride 4 of a 352 box -> 88) still run
-    the fused kernels; the extra cells are mask/tile-dead."""
-    return jnp.pad(x, ((1, 1), (1, 1), (yt, yt + (-x.shape[2]) % yt), (0, 0)))
+    """[X, T, Y, 2C] -> padded [X+2, T/p+2, Ypad+2yt, p*2C] (fused-kernel
+    input; p = :func:`lane_fold`).  Y additionally rounds UP to a tile
+    multiple so stages whose extent is not 16-aligned (e.g. stride 4 of a
+    352 box -> 88) still run the fused kernels; the extra cells are
+    mask/tile-dead."""
+    c2 = x.shape[-1]
+    p = lane_fold(c2, c2, x.shape[1])
+    xf = _fold_t(x, p)
+    return jnp.pad(
+        xf, ((1, 1), (1, 1), (yt, yt + (-x.shape[2]) % yt), (0, 0))
+    )
 
 
-def unpad_stage(xp: jnp.ndarray, yt: int = 16, y: int = None) -> jnp.ndarray:
+def unpad_stage(
+    xp: jnp.ndarray, yt: int = 16, y: int = None, c2: int = None
+) -> jnp.ndarray:
     """Interior of a padded stage buffer (``y`` = unpadded Y extent; None
-    means Y was already a tile multiple)."""
-    if y is None:
-        return xp[1:-1, 1:-1, yt:-yt]
-    return xp[1:-1, 1:-1, yt : yt + y]
+    means Y was already a tile multiple).  ``c2`` = the stage's logical
+    lane count — pass it for stages that may be lane-folded."""
+    inner = xp[1:-1, 1:-1, yt:-yt] if y is None else xp[1:-1, 1:-1, yt : yt + y]
+    if c2 is None or xp.shape[-1] == c2:
+        return inner
+    return _unfold_t(inner, xp.shape[-1] // c2, c2)
 
 
 def _plan_weights(weight: jnp.ndarray, slot_split: bool, cd):
@@ -885,16 +1005,21 @@ def fused_packed_conv(
     cd = compute_dtype or xp.dtype
     ci = weight.shape[1]
     co = weight.shape[-1]
+    p = xp.shape[-1] // (2 * ci)        # lane fold of the chain buffers
+    t_logical = (xp.shape[1] - 2) * p
     if plan is None:
-        plan = conv_plan(2 * ci, 2 * co, xp.shape[1], fused=True)
+        plan = conv_plan(2 * ci, 2 * co, t_logical + 2, fused=True)
     xw, yt, db, slot_split = plan
     weights = _plan_weights(weight, slot_split, cd)
     if affine is not None:
         aff = jnp.stack(
-            [affine[0].astype(jnp.float32), affine[1].astype(jnp.float32)]
+            [
+                jnp.tile(affine[0].astype(jnp.float32), p),
+                jnp.tile(affine[1].astype(jnp.float32), p),
+            ]
         )
     else:
-        aff = jnp.zeros((2, 2 * ci), jnp.float32)
+        aff = jnp.zeros((2, p * 2 * ci), jnp.float32)
     b2 = (
         jnp.concatenate([bias, bias]).astype(jnp.float32)
         if bias is not None
@@ -902,14 +1027,17 @@ def fused_packed_conv(
     ).reshape(1, 2 * co)
     if skip is None:
         # tiny dummy: with has_skip=False the kernel never touches it
-        skip_arr = jnp.zeros((1, 1, 1, 2 * co), xp.dtype)
+        skip_arr = jnp.zeros((1, 1, 1, p * 2 * co), xp.dtype)
     else:
         skip_arr = skip.astype(xp.dtype)
-    return _fused_conv_call(
+    out = _fused_conv_call(
         xp.astype(cd), mask8, weights, aff, b2, skip_arr, ids, n_active,
         xw, yt, affine is not None, relu, skip is not None, out_padded,
-        slot_split, db,
+        slot_split, db, p,
     )
+    if out_padded or p == 1:
+        return out
+    return _unfold_t(out, p, 2 * co)
 
 
 def block_sparse_packed_conv(
@@ -931,6 +1059,7 @@ def block_sparse_packed_conv(
     co = weight.shape[-1]
     xw, yt, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)
     assert X % xw == 0, (x.shape, xw)
+    p = lane_fold(c2, 2 * co, T)
     lo, hi = mask[:, 0::2], mask[:, 1::2]
     xm = jnp.concatenate(
         [
@@ -942,7 +1071,9 @@ def block_sparse_packed_conv(
     # y pads a full tile per side (plus rounding to a tile multiple) so
     # every tile's wide halo DMA slice stays sublane-tile aligned (Mosaic
     # requires it for HBM slices).
-    xp = jnp.pad(xm, ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0)))
+    xp = jnp.pad(
+        _fold_t(xm, p), ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0))
+    )
     weights = _plan_weights(weight, slot_split, cd)
     b2 = (
         jnp.concatenate([bias, bias]).astype(jnp.float32)
@@ -951,9 +1082,9 @@ def block_sparse_packed_conv(
     ).reshape(1, 2 * co)
     ids, n_active = active_tiles_xy(mask.any(axis=1), xw, yt)
     out = _packed_conv_call(
-        xp, weights, b2, ids, n_active, xw, yt, slot_split, db
+        xp, weights, b2, ids, n_active, xw, yt, slot_split, db, p
     )
-    return out[:, :, :Y].astype(x.dtype)
+    return _unfold_t(out, p, 2 * co)[:, :, :Y].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

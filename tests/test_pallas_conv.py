@@ -429,3 +429,76 @@ def test_block_sparse_packed_conv_y_tile_rounding():
     # every xy tile is active at this density; compare everywhere
     d = np.abs(np.asarray(got) - np.asarray(ref))
     assert d.max() < 2e-3, d.max()
+
+
+def test_fused_packed_conv_lane_fold_matches_xla():
+    """s1-proportioned stage (2C = 32 lanes, T = 16): the chain buffers
+    lane-fold p = 4 z-pair rows into the 128-lane tile (lane_fold)."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2
+    from pasco_tpu.ops.pallas_conv import (
+        active_tiles_xy, block_sparse_packed_conv, conv_plan,
+        fused_packed_conv, lane_fold, pad_stage, stage_mask8)
+
+    r = np.random.RandomState(9)
+    X, Z, Y, C = 16, 32, 32, 16
+    T = Z // 2
+    assert lane_fold(2 * C, 2 * C, T) == 4
+    x = jnp.asarray(r.randn(X, T, Y, 2 * C).astype(np.float32))
+    mask_np = r.rand(X, Z, Y) > 0.4
+    mask_np[12:] = False
+    mask = jnp.asarray(mask_np)
+    w1 = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.2)
+    b1, b2 = (jnp.asarray(r.randn(C).astype(np.float32)) for _ in range(2))
+    a1, a2 = (
+        jnp.asarray((np.abs(r.randn(2 * C)) + 0.5).astype(np.float32))
+        for _ in range(2)
+    )
+    c1, c2 = (jnp.asarray(r.randn(2 * C).astype(np.float32)) for _ in range(2))
+
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+
+    def mask_mul(v):
+        return jnp.concatenate(
+            [
+                jnp.where(lo[..., None], v[..., :C], 0),
+                jnp.where(hi[..., None], v[..., C:], 0),
+            ],
+            axis=-1,
+        )
+
+    y1 = mask_mul(jnp.maximum(x * a1 + c1, 0))
+    f1 = conv3_packed_z2(y1, w1, b1)
+    y2 = mask_mul(jnp.maximum(f1 * a2 + c2, 0))
+    ref = jnp.maximum(x + conv3_packed_z2(y2, w2, b2), 0)
+
+    plan = conv_plan(2 * C, 2 * C, T + 2, fused=True)
+    with _interpret():
+        m8 = stage_mask8(mask, 2 * C)
+        assert m8.shape[-1] == 128 and m8.shape[1] == T // 4 + 2
+        ids, n = active_tiles_xy(mask.any(axis=1), plan[0], plan[1])
+        xp = pad_stage(x)
+        assert xp.shape[-1] == 128 and xp.shape[1] == T // 4 + 2
+        o1 = fused_packed_conv(
+            xp, w1, m8, ids, n, affine=(a1, c1), relu=True, bias=b1,
+            out_padded=True, plan=plan,
+        )
+        assert o1.shape == xp.shape
+        o2 = fused_packed_conv(
+            o1, w2, m8, ids, n, affine=(a2, c2), relu=True, bias=b2,
+            skip=xp, out_padded=False, plan=plan,
+        )
+        # the standalone (non-chain) kernel folds/unfolds internally
+        bs = block_sparse_packed_conv(mask_mul(x), w1, mask, bias=b1)
+    got = np.asarray(o2)
+    rn = np.asarray(ref)
+    assert got.shape == rn.shape
+    xw, yt = plan[0], plan[1]
+    tile_act = mask_np.any(1).reshape(X // xw, xw, Y // yt, yt).any((1, 3))
+    act = np.repeat(np.repeat(tile_act, xw, 0), yt, 1)
+    sel = np.broadcast_to(act[:, None, :], (X, T, Y))
+    d = np.abs(got - rn).max(axis=-1)
+    assert d[sel].max() < 1e-3, d[sel].max()
+    bs_ref = np.asarray(conv3_packed_z2(mask_mul(x), w1, b1))
+    db = np.abs(np.asarray(bs) - bs_ref).max(axis=-1)
+    assert db[sel].max() < 1e-3, db[sel].max()
