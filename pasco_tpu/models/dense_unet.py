@@ -988,6 +988,7 @@ class DensePaSCoNet(nn.Module):
                     x, keep, box, scale, cap.dec_capacity(scale),
                     extra=sem if need_extra else None, extra_packed=True,
                     gather_feats=False,
+                    stream=pallas and not train,
                 )
             else:
                 grid, extra = extract_sparse(
@@ -1102,6 +1103,7 @@ class DensePaSCoNet(nn.Module):
                         g, e = extract_sparse_z2(
                             refined[s], keep_stack[s], box, scale, pcap,
                             extra=sem_s, extra_packed=True,
+                            stream=pallas and not train,
                         )
                     else:
                         g, e = extract_sparse(

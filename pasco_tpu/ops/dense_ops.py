@@ -559,6 +559,13 @@ def extract_sparse_z2(
     #                              zeros (no payload gather) — for grids
     #                              whose consumers only read coords/mask
     #                              (+extra), e.g. the dec sem extractions
+    stream: bool = False,        # route the payload move through the
+    #                              stream-compact Pallas kernel
+    #                              (ops/pallas_extract.py) — TPU inference
+    #                              only; output order becomes
+    #                              (packed-row, slot) with interleaved
+    #                              invalid pad rows, which every consumer
+    #                              (coords/mask-driven) tolerates
 ) -> Tuple[SparseGrid, Optional[jnp.ndarray]]:
     """:func:`extract_sparse` for a z-pair-packed volume: gathers packed
     rows and selects the slot half per kept cell — no unpack relayout.
@@ -574,6 +581,54 @@ def extract_sparse_z2(
     Z = 2 * T
     n = X * Z * Y
     keep_f = keep.reshape(n)
+
+    fused = extra is not None and extra_packed
+    if stream and (fused or gather_feats):
+        from pasco_tpu.ops.pallas_extract import stream_extract_z2
+
+        if fused and not gather_feats:
+            payload = extra
+        elif fused:
+            # slot-major lane order [C_lo|E_lo|C_hi|E_hi]: the kernel's
+            # z-slot fold selects contiguous lane halves.
+            e_half = extra.shape[-1] // 2
+            payload = jnp.concatenate(
+                [
+                    feats_packed[..., :c],
+                    extra[..., :e_half].astype(feats_packed.dtype),
+                    feats_packed[..., c:],
+                    extra[..., e_half:].astype(feats_packed.dtype),
+                ],
+                axis=-1,
+            )
+        else:
+            payload = feats_packed
+        v, src, mask, _ = stream_extract_z2(keep, capacity, payload)
+        if fused and not gather_feats:
+            extra_vals = v
+            vals = jnp.zeros((capacity, c), feats_packed.dtype)
+        elif fused:
+            vals = v[:, :c]
+            extra_vals = v[:, c:]
+        else:
+            vals = v
+        sy = src % Y
+        sz = (src // Y) % Z
+        sx = src // (Y * Z)
+        rel = jnp.stack([sx, sy, sz], axis=-1) * stride + box.minimum[None, :]
+        out_coords = jnp.concatenate(
+            [
+                jnp.zeros((capacity, 1), jnp.int32),
+                jnp.where(mask[:, None], rel.astype(jnp.int32), 0),
+            ],
+            axis=-1,
+        )
+        grid = SparseGrid(
+            coords=out_coords, feats=vals.astype(feats_packed.dtype),
+            mask=mask, stride=stride,
+        )
+        return grid, (extra_vals.astype(extra.dtype) if fused else None)
+
     src, mask, _ = compact_src(keep_f, capacity)
 
     sy = src % Y
@@ -582,7 +637,6 @@ def extract_sparse_z2(
     prow = (sx * T + sz // 2) * Y + sy
     odd = (sz % 2 == 1)[:, None]
 
-    fused = extra is not None and extra_packed
     if fused and not gather_feats:
         e2 = extra.shape[-1]
         e = e2 // 2
