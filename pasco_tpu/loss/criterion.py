@@ -140,7 +140,12 @@ def criterion_losses(
     vox_prob = (jax.nn.sigmoid(voxel_logits.astype(jnp.float32)) + 1e-8) * keep_q[
         None, :
     ]
-    vox_prob = vox_prob / jnp.maximum(jnp.sum(vox_prob, axis=1, keepdims=True), 1e-20)
+    # Safe divide: with every query dropped the row sum is exactly 0 and
+    # a max(.., 1e-20) floor overflows in backward (1/m^2 = 1e40 > f32max,
+    # inf * 0 = NaN poisoning the whole trunk grad).  When any query is
+    # kept the +1e-8 bounds the sum away from 0, so where(S>0) is exact.
+    vox_sum = jnp.sum(vox_prob, axis=1, keepdims=True)
+    vox_prob = vox_prob / jnp.where(vox_sum > 0, vox_sum, 1.0)
     ssc_logit = vox_prob @ (query_logits[:, :-1].astype(jnp.float32) * keep_q[:, None])
 
     sem_lbl = _gather_dense(targets.semantic_dense, rel, 255)

@@ -92,7 +92,11 @@ def masked_cross_attention(
         jnp.zeros((num_heads, nq, dh), jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(body, init, (kc, vc, ac))
-    out = acc / jnp.maximum(l, 1e-20)[..., None]
+    # Safe divide: a query whose keys are ALL masked has l == 0 exactly,
+    # and a max(l, 1e-20) floor overflows in backward (1/l^2 = 1e40 >
+    # f32max -> inf * 0 = NaN).  Valid rows have l >= 1 (the running max
+    # contributes exp(0)), so where(l>0) changes nothing for them.
+    out = acc / jnp.where(l > 0, l, 1.0)[..., None]
     return out.transpose(1, 0, 2).reshape(nq, d).astype(q.dtype)
 
 

@@ -188,3 +188,82 @@ def test_hungarian_assignment_more_slots_than_queries():
     assert abs(
         cost[matched, np.nonzero(valid)[0]].sum() - cost[:, valid][ri, ci].sum()
     ) < 1e-3
+
+
+def test_criterion_grads_finite_when_all_queries_dropped():
+    """Regression: a subnet whose every query argmaxes to no-object made
+    the voxel-query SSC normalisation divide by the 1e-20 floor, whose
+    backward (1/m^2 = 1e40) overflows f32 -> inf * 0 = NaN through the
+    whole trunk (caught by the flagship multichip dryrun)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pasco_tpu.core.config import LossConfig
+    from pasco_tpu.core.sparse import SparseGrid
+    from pasco_tpu.loss.criterion import SubnetTargets, criterion_losses
+
+    r = np.random.RandomState(0)
+    Q, N, C, T = 8, 64, 5, 4
+    X = Y = Z = 8
+    # every query strongly predicts the dustbin class C
+    ql = jnp.asarray(r.randn(Q, C + 1), jnp.float32).at[:, -1].add(50.0)
+    vl = jnp.asarray(r.randn(N, Q), jnp.float32)
+    coords = jnp.concatenate(
+        [
+            jnp.zeros((N, 1), jnp.int32),
+            jnp.asarray(r.randint(0, X, (N, 3)), jnp.int32),
+        ],
+        axis=-1,
+    )
+    grid = SparseGrid(
+        coords=coords,
+        feats=jnp.zeros((N, 4), jnp.float32),
+        mask=jnp.ones((N,), bool),
+        stride=1,
+    )
+    tgt = SubnetTargets(
+        labels=jnp.asarray(r.randint(1, C, (T,)), jnp.int32),
+        valid=jnp.ones((T,), bool),
+        mask_id_dense=jnp.asarray(r.randint(0, T, (X, Y, Z)), jnp.int32),
+        semantic_dense=jnp.asarray(r.randint(0, C, (X, Y, Z)), jnp.int32),
+        unknown_dense=jnp.zeros((X, Y, Z), bool),
+    )
+    cw = jnp.ones((C + 1,), jnp.float32)
+    lwv = jnp.ones((C,), jnp.float32)
+
+    def total(ql_, vl_):
+        losses = criterion_losses(
+            ql_, vl_, grid, jnp.zeros((N, C), jnp.float32), tgt,
+            jnp.zeros((3,), jnp.int32), cw, lwv, LossConfig(), C,
+        )
+        return sum(losses.values())
+
+    gq, gv = jax.jit(jax.grad(total, argnums=(0, 1)))(ql, vl)
+    assert np.isfinite(np.asarray(gq)).all()
+    assert np.isfinite(np.asarray(gv)).all()
+
+
+def test_masked_attention_grads_finite_with_all_masked_row():
+    """Regression: a query whose every key is masked has softmax
+    normaliser l == 0; the old max(l, 1e-20) floor NaN'd its backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pasco_tpu.ops.attention import masked_cross_attention
+
+    r = np.random.RandomState(1)
+    Q, N, D, H = 4, 32, 16, 2
+    q = jnp.asarray(r.randn(Q, D), jnp.float32)
+    k = jnp.asarray(r.randn(N, D), jnp.float32)
+    v = jnp.asarray(r.randn(N, D), jnp.float32)
+    allow = jnp.ones((N, Q), bool).at[:, 0].set(False)  # query 0: no keys
+
+    def loss(q_, k_, v_):
+        out = masked_cross_attention(q_, k_, v_, allow, num_heads=H)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all()
