@@ -50,7 +50,7 @@ def capture(out_dir: str, iters: int) -> None:
     jax.profiler.stop_trace()
 
 
-def report(out_dir: str, top: int) -> None:
+def report(out_dir: str, top: int, iters: int = 3) -> None:
     from xprof.convert import raw_to_tool_data
 
     paths = sorted(glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True))
@@ -58,14 +58,44 @@ def report(out_dir: str, top: int) -> None:
         print("no xplane.pb found under", out_dir)
         return
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {"tqx": "out:csv;"}
+        [paths[-1]], "framework_op_stats", {}
     )
     if isinstance(data, bytes):
         data = data.decode()
-    lines = data.splitlines()
-    print(lines[0])
-    for ln in lines[1 : top + 1]:
-        print(ln)
+    rows = json.loads(data)
+    rows = rows[0]["rows"] if isinstance(rows, list) else rows["rows"]
+    ops = []
+    for r in rows:
+        c = [x.get("v") for x in r["c"]]
+        if c[1] != "Device":
+            continue
+        # (type, name, occurrences, total_self_us, measured_bw)
+        ops.append((c[2], c[3], int(c[4] or 0), float(c[7]), float(c[15])))
+    ops.sort(key=lambda o: -o[3])
+    total = sum(o[3] for o in ops)
+    print(f"total device self time: {total / 1000 / iters:.1f} ms/iter")
+
+    buckets: dict = {}
+    for typ, name, occ, t, bw in ops:
+        if typ == "pallas_call":
+            key = "pallas"
+        elif typ in ("conv_general_dilated", "dot_general"):
+            key = "conv/dot"
+        elif "gather" in typ:
+            key = "gather"
+        elif "scatter" in typ:
+            key = "scatter"
+        elif typ == "IDLE":
+            key = "idle"
+        else:
+            key = "other"
+        buckets[key] = buckets.get(key, 0.0) + t
+    for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:10s} {v / 1000 / iters:7.2f} ms/iter")
+    print()
+    print(f"{'ms/iter':>8s}  {'#':>4s}  {'GB/s':>5s}  op")
+    for typ, name, occ, t, bw in ops[:top]:
+        print(f"{t / 1000 / iters:8.2f}  {occ:4d}  {bw:5.0f}  {name[:100]}")
 
 
 if __name__ == "__main__":
@@ -77,4 +107,4 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if not args.report_only:
         capture(args.out, args.iters)
-    report(args.out, args.top)
+    report(args.out, args.top, args.iters)
