@@ -838,11 +838,14 @@ class DensePaSCoNet(nn.Module):
         neg = jnp.asarray(-jnp.inf, cd)
         grid_f = jnp.full((S * n_cells + 1, m.f), neg, cd)
         grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
-        # A cell is occupied iff any point scattered into it, iff channel 0
+        # A cell is occupied iff any point scattered into it, iff its row
         # rose above the -inf init — spares a second (bool) scatter pass,
-        # which profiling put at ~14 ms/scan.
-        occ = grid_f[:, 0] > neg
-        grid_f = jnp.where(occ[:, None], grid_f, 0)[:-1]
+        # which profiling put at ~14 ms/scan.  Row-max (not a column
+        # slice: `grid_f[:, 0]` materialised a [4M, 1] lane-padded array
+        # and ran 3.6 ms at 6 GB/s) and an elementwise -inf select, both
+        # of which fuse over one read of the volume.
+        occ = jnp.max(grid_f, axis=-1) > neg
+        grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
         sub_mask = occ[:-1].reshape(S, ex, ez, ey)
         x = (
             grid_f.reshape(S, n_cells, m.f)

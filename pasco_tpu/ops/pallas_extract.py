@@ -154,48 +154,55 @@ def _extract_kernel(
         blk = in_buf[slot]                       # [128, L]
         e = e2 // 2
         f32 = jnp.float32
-        bit_lo = (blk[:, e2] > 0).astype(jnp.bfloat16)      # [128]
-        bit_hi = (blk[:, e2 + 1] > 0).astype(jnp.bfloat16)
-        row_n = bit_lo + bit_hi
+        bit_lo = (blk[:, e2 : e2 + 1] > 0).astype(f32)       # [128, 1]
+        bit_hi = (blk[:, e2 + 1 : e2 + 2] > 0).astype(f32)
+        row_n = (bit_lo + bit_hi).astype(jnp.bfloat16)
         # exclusive per-row prefix over (lo+hi): one strict-LT dot.
         pref = jnp.dot(
             lt_ref[...], row_n, preferred_element_type=f32
-        )                                        # [128] f32
+        )                                        # [128, 1] f32
         rank_lo = pref
-        rank_hi = pref + bit_lo.astype(f32)
+        rank_hi = pref + bit_lo
         o = jax.lax.broadcasted_iota(f32, (BLOCK_CELLS, BLOCK_ROWS), 0)
         oh_lo = jnp.where(
-            (o == rank_lo[None, :]) & (bit_lo[None, :] > 0), 1.0, 0.0
+            (o == rank_lo[:, 0][None, :]) & (bit_lo[:, 0][None, :] > 0),
+            1.0, 0.0,
         ).astype(jnp.bfloat16)
         oh_hi = jnp.where(
-            (o == rank_hi[None, :]) & (bit_hi[None, :] > 0), 1.0, 0.0
+            (o == rank_hi[:, 0][None, :]) & (bit_hi[:, 0][None, :] > 0),
+            1.0, 0.0,
         ).astype(jnp.bfloat16)
-        # Non-kept rows may hold garbage (chain buffers are uninitialised
-        # outside active tiles) and 0 * NaN = NaN in the dot: select
-        # kept-lane halves to zero first.
-        blk_lo = jnp.where(bit_lo[:, None] > 0, blk[:, :e], 0)
-        blk_hi = jnp.where(bit_hi[:, None] > 0, blk[:, e:e2], 0)
-        t1 = jnp.dot(oh_lo, blk_lo, preferred_element_type=f32)
-        t2 = jnp.dot(oh_hi, blk_hi, preferred_element_type=f32)
-        vals = t1 + t2                           # [256, E] slot-folded
-        # bookkeeping lanes: local row r (one-hot dot of the iota lane
-        # riding as keep-lane products), slot, validity.
-        r_iota = jax.lax.broadcasted_iota(jnp.bfloat16, (BLOCK_ROWS,), 0)
-        loc = jnp.dot(
-            oh_lo, r_iota, preferred_element_type=f32
-        ) + jnp.dot(oh_hi, r_iota, preferred_element_type=f32)
-        one = jnp.dot(
-            oh_lo, jnp.ones_like(r_iota), preferred_element_type=f32
+        # Per-slot RHS: [kept-masked payload half | local row | slot
+        # one-hot] — the bookkeeping columns ride the SAME two dots.
+        # Kept-masking matters: non-kept rows may hold garbage (chain
+        # buffers are uninitialised outside active tiles) and
+        # 0 * NaN = NaN in the dot.
+        r_iota = jax.lax.broadcasted_iota(
+            jnp.bfloat16, (BLOCK_ROWS, 1), 0
         )
-        two = jnp.dot(
-            oh_hi, jnp.ones_like(r_iota), preferred_element_type=f32
+        ones = jnp.ones((BLOCK_ROWS, 1), jnp.bfloat16)
+        zeros = jnp.zeros((BLOCK_ROWS, 1), jnp.bfloat16)
+        blk_lo = jnp.concatenate(
+            [
+                jnp.where(bit_lo > 0, blk[:, :e], 0),
+                r_iota, ones, zeros,
+            ],
+            axis=-1,
         )
-        res = jnp.zeros((BLOCK_CELLS, lout), jnp.float32)
-        res = res.at[:, :e].set(vals)
-        res = res.at[:, lout - 3].set(loc)
-        res = res.at[:, lout - 2].set(two)       # slot indicator (hi=1)
-        res = res.at[:, lout - 1].set(one + two)  # validity
-        out_buf[...] = res.astype(out_buf.dtype)
+        blk_hi = jnp.concatenate(
+            [
+                jnp.where(bit_hi > 0, blk[:, e:e2], 0),
+                r_iota, zeros, ones,
+            ],
+            axis=-1,
+        )
+        t = jnp.dot(
+            oh_lo, blk_lo, preferred_element_type=f32
+        ) + jnp.dot(oh_hi, blk_hi, preferred_element_type=f32)
+        # output lanes keep t's order: [E vals | local row | is_lo | is_hi]
+        out_buf[...] = jnp.pad(
+            t, ((0, 0), (0, lout - (e + 3)))
+        ).astype(out_buf.dtype)
         copy = pltpu.make_async_copy(
             out_buf,
             out_ref.at[pl.ds(r16_ref[g], BLOCK_CELLS)],
@@ -284,11 +291,11 @@ def stream_extract_z2(
         pay = jnp.pad(pay, ((0, pad), (0, 0)))
     out = _extract_call(pay, block_ids, r16, n_active, e2, capacity)
     out = out[:capacity]
-    lout = out.shape[-1]
+    # lanes: [E vals | local row | is_lo | is_hi] (+ tile padding)
     vals = out[:, :e]
-    loc = out[:, lout - 3].astype(jnp.int32)
-    slot = (out[:, lout - 2] > 0).astype(jnp.int32)
-    valid = out[:, lout - 1] > 0
+    loc = out[:, e].astype(jnp.int32)
+    slot = (out[:, e + 2] > 0).astype(jnp.int32)
+    valid = (out[:, e + 1] + out[:, e + 2]) > 0
     # r16 here is indexed by ACTIVE slot (the kernel's g), matching
     # blk_of_row; block_ids maps back to the block index.
     a = jnp.clip(blk_of_row, 0, nblk - 1)
