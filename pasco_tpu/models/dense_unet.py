@@ -513,16 +513,68 @@ class DenseDecoderStage(nn.Module):
         in_ch = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
         wd = self.param("up_kernel", _conv_init, (8, in_ch, ch))
         bd = self.param("up_bias", nn.initializers.zeros, (ch,))
+        # Fully-fused up preamble (ops/pallas_deconv.py): deconv, up_bn
+        # affine, leaky, coords concat, resize 1x1, skip add run per tile
+        # and write the padded chain input directly — the XLA form cost
+        # ~6 full-volume passes (~10 ms/scan at dec_s1).
+        from pasco_tpu.ops.pallas_conv import lane_fold
+
+        fused_up = (
+            self.pallas and pk and self.in_packed and not train
+            and self.n_res > 0
+            and (2 * x.shape[0]) % 8 == 0
+            and (2 * x.shape[2]) % 32 == 0
+            # the kernel emits the UNFOLDED padded layout; narrow stages
+            # whose chain buffers lane-fold keep the XLA preamble
+            and lane_fold(2 * ch, 2 * ch, 2 * x.shape[1]) == 1
+        )
         xm = _mm(x, parent_keep, self.in_packed)
+        msk_early = upsample2_mask(parent_keep) & bbox_mask(
+            box, self.scale, gmin, gmax, ORDER
+        )
+        if fused_up:
+            from pasco_tpu.ops.pallas_conv import (
+                active_tiles_xy, conv_plan, stage_mask8, unpad_stage)
+            from pasco_tpu.ops.pallas_deconv import up_preamble_padded
+
+            msk = msk_early
+            X1, T1, Y1 = 2 * x.shape[0], 2 * x.shape[1], 2 * x.shape[2]
+            tok1 = jnp.zeros((1, 1, 1, 2 * ch), xm.dtype)
+            a1, c1 = DenseBN(
+                self.axis_name, packed=True, name="up_bn"
+            )(tok1, msk, train, affine_only=True)
+            tok2 = jnp.zeros((1, 1, 1, 2 * (ch + 3)), xm.dtype)
+            a2, c2 = DenseBN(
+                self.axis_name, packed=True, name="resize_bn"
+            )(tok2, msk, train, affine_only=True)
+            wr, br = DenseConv(
+                ch, 1, compute_dtype=cd, packed=True, name="resize"
+            )(tok2, msk, params_only=True)
+            xpad = up_preamble_padded(
+                xm, skip, jnp.any(msk, axis=1), box.minimum, self.scale,
+                wd, bd, (a1, c1), (a2, c2), wr[0], br,
+                compute_dtype=cd or xm.dtype,
+            )
+            plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True)
+            ctx = (
+                stage_mask8(msk, 2 * ch),
+                *active_tiles_xy(jnp.any(msk, axis=1), plan[0], plan[1]),
+            )
+            for ri in range(self.n_res):
+                xpad = Block(
+                    ch, self.axis_name, cd, packed=True, pallas=True,
+                    fused_plan=plan, name=f"res{ri}",
+                )(xpad, msk, train, ctx)
+            # Decoder output needs no mask (heads/extraction re-mask).
+            x = unpad_stage(xpad, y=Y1, c2=2 * ch)
+            return self._finish(x, msk, pk, cd, drop_on, train)
         if self.in_packed and pk:
             x = deconv2_packed_to_packed(xm, wd, bd, cd)
         elif pk:
             x = deconv2_plain_to_packed(xm, wd, bd, cd)
         else:
             x = deconv2_dense(xm, wd, bd, cd, axis_order=ORDER)
-        msk = upsample2_mask(parent_keep) & bbox_mask(
-            box, self.scale, gmin, gmax, ORDER
-        )
+        msk = msk_early
         # Packed ("lean") stages defer masking entirely to the residual
         # blocks' output passes: between here and res0 only BN (stats mask
         # internally) and pointwise ops touch x, and res0's convs mask
@@ -591,6 +643,11 @@ class DenseDecoderStage(nn.Module):
                     ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
                     mask_output=False, name=f"res{ri}",
                 )(x, msk, train)
+        return self._finish(x, msk, pk, cd, drop_on, train)
+
+    def _finish(self, x, msk, pk, cd, drop_on, train):
+        """Dropout + per-subnet sem heads (shared by both preamble paths)."""
+        ch = self.out_channels
         if self.dropout > 0.0:
             x = DenseSpatialDropout(
                 self.dropout, packed=pk, name="drop"

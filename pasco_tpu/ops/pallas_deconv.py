@@ -1,0 +1,291 @@
+"""Fused decoder up-preamble: deconv -> BN-affine -> leaky -> coords ->
+resize 1x1 -> +skip, written straight into the padded chain-input layout.
+
+The decoder stage preamble between the parent features and the fused
+residual chain ran as ~6 separate XLA passes over the scale-1 volume
+(deconv relayout 2.4 ms, coords concat, up_bn add, leaky select, resize
+dot, pad_stage — ~10 ms/scan at dec_s1 in the round-2 profile).  This
+kernel runs the whole preamble per (8, 32) xy tile of the output stage:
+ONE parent DMA (stride-2 deconv needs no halo), one MXU dot against the
+pre-packed deconv weight, the two inference BN affines + leaky-ReLU on
+the resident tile, coordinates from iota + the (scalar-prefetched) box
+corner, the resize 1x1 as a second dot, the skip add, and a direct
+write into the interior of the padded buffer the chain consumes — so
+``pad_stage`` disappears too.
+
+Mirrors the reference decoder's generative up step
+(``pasco/models/decoder_v3.py`` up conv + ``resize`` feature concat),
+restructured for the MXU.  Inference-only, like the fused chain; v1
+requires the stage's Y extent to be a multiple of 32 (the parent DMA's
+sublane alignment) — other shapes keep the XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+XW = 8          # output-tile x extent (parent 4)
+YT = 32         # output-tile y extent (parent 16 — sublane aligned)
+
+
+def pack_deconv_weight(
+    weight: jnp.ndarray,       # [8, Ci, Co] (kernel_offsets(2) order)
+    dtype,
+) -> jnp.ndarray:
+    """[2Ci, (ix, pt, iy, 2Co)] packed deconv weight: parent slot pz's
+    children land in output pair 2t+pz (block-diagonal over slots), child
+    z parity dz selects the output lane half.  Same math as
+    ``dense_ops.deconv2_packed_to_packed``, lane order chosen so the
+    kernel's child unfold keeps x/t interleaves on untiled dims."""
+    ci, co = weight.shape[1], weight.shape[2]
+    w3 = weight.reshape(2, 2, 2, ci, co)       # (ix, iy, dz, ci, co)
+    wk = jnp.zeros((2 * ci, 2, 2, 2, 2 * co), weight.dtype)
+    for pz in range(2):
+        for dz in range(2):
+            wk = wk.at[
+                pz * ci : (pz + 1) * ci, :, pz, :, dz * co : (dz + 1) * co
+            ].set(w3[:, :, dz].transpose(2, 0, 1, 3))
+    # [2ci, ix, pt, iy, 2co] -> flat lane order (ix, pt, iy, 2co)
+    return wk.reshape(2 * ci, 16 * co).astype(dtype)
+
+
+def _unfold_children(v, T2, co2):
+    """[4, T2, 16, 16co] deconv output -> [8, 2*T2, 32, 2co] child tile.
+
+    Lane blocks are (ix, pt, iy, 2co); ix joins x and pt joins t (both
+    untiled dims — free vreg reordering), iy zips into the sublane (y)
+    dim — the one real relayout.
+    """
+    x2, t2, y2 = v.shape[0], v.shape[1], v.shape[2]
+    v = v.reshape(x2, t2, y2, 2, 2, 2, co2)
+    # -> [x2, ix, t2, pt, y2, iy, co2]
+    v = v.transpose(0, 3, 1, 4, 2, 5, 6)
+    return v.reshape(2 * x2, 2 * t2, 2 * y2, co2)
+
+
+def _up_kernel(
+    ids_ref, n_ref, gmin_ref,
+    par_ref,                  # HBM [X2, T2, Y2, 2ci]
+    skip_ref,                 # HBM [X, T, Y32, 2co]
+    wk_ref,                   # VMEM [2ci, 16co]
+    bd_ref,                   # VMEM [1, 16co] f32 deconv bias (tiled)
+    aff1_ref,                 # VMEM [2, 2co] f32 (a, c) up_bn
+    aff2_ref,                 # VMEM [2, L2] f32 (a, c) resize_bn
+    wr_ref,                   # VMEM [L2, 2co] resize weight (blockdiag)
+    br_ref,                   # VMEM [1, 2co] f32 resize bias
+    out_ref,                  # HBM [X+2, T+2, Ypad, 2co]
+    pbuf,                     # VMEM [2, 4, T2, 16, 2ci]
+    sbuf,                     # VMEM [XW, T, YT, 2co]
+    obuf,                     # VMEM [XW, T, YT, 2co]
+    in_sems, skip_sem, out_sem,
+    *,
+    T: int, by: int, co: int, scale: int,
+):
+    g = pl.program_id(0)
+    n_act = n_ref[0]
+    T2 = T // 2
+    co2 = 2 * co
+    f32 = jnp.float32
+
+    def par_dma(slot, idx):
+        tid = ids_ref[idx]
+        return pltpu.make_async_copy(
+            par_ref.at[
+                pl.ds((tid // by) * (XW // 2), XW // 2), :,
+                pl.ds((tid % by) * (YT // 2), YT // 2),
+            ],
+            pbuf.at[slot],
+            in_sems.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        @pl.when(n_act > 0)
+        def _():
+            par_dma(0, 0).start()
+
+    @pl.when(g < n_act)
+    def _():
+        tid = ids_ref[g]
+        x0 = (tid // by) * XW
+        y0 = (tid % by) * YT
+        skip_dma = pltpu.make_async_copy(
+            skip_ref.at[pl.ds(x0, XW), :, pl.ds(y0, YT)],
+            sbuf,
+            skip_sem,
+        )
+        skip_dma.start()
+        slot = jax.lax.rem(g, 2)
+        par_dma(slot, g).wait()
+
+        @pl.when(g + 1 < n_act)
+        def _():
+            par_dma(1 - slot, g + 1).start()
+
+        ci2 = pbuf.shape[-1]
+        n2 = (XW // 2) * T2 * (YT // 2)
+        v = jnp.dot(
+            pbuf[slot].reshape(n2, ci2), wk_ref[...],
+            preferred_element_type=f32,
+        ) + bd_ref[0]
+        child = _unfold_children(
+            v.astype(jnp.bfloat16).reshape(XW // 2, T2, YT // 2, 16 * co),
+            T2, co2,
+        )                                          # [XW, T, YT, 2co] bf16
+
+        # up_bn affine + leaky (0.01), f32 math like the XLA path.
+        a1 = aff1_ref[0]
+        c1 = aff1_ref[1]
+        y1 = child.astype(f32) * a1 + c1
+        y1 = jnp.where(y1 > 0, y1, 0.01 * y1).astype(jnp.bfloat16)
+
+        # normalised cell coords (x, y, z)/1 at this stride: f32 math,
+        # bf16 rounding — identical to cell_coords()/scale .astype(bf16).
+        gx = (
+            gmin_ref[0].astype(f32)
+            + scale * (x0 + jax.lax.broadcasted_iota(f32, (XW, T, YT), 0))
+        ) / scale
+        gy = (
+            gmin_ref[1].astype(f32)
+            + scale * (y0 + jax.lax.broadcasted_iota(f32, (XW, T, YT), 2))
+        ) / scale
+        tz = 2.0 * jax.lax.broadcasted_iota(f32, (XW, T, YT), 1)
+        gz_lo = (gmin_ref[2].astype(f32) + scale * tz) / scale
+        gz_hi = (gmin_ref[2].astype(f32) + scale * (tz + 1.0)) / scale
+        cl = [c[..., None].astype(jnp.bfloat16) for c in (gx, gy, gz_lo)]
+        ch = [c[..., None].astype(jnp.bfloat16) for c in (gx, gy, gz_hi)]
+        xc = jnp.concatenate(
+            [y1[..., :co], *cl, y1[..., co:], *ch], axis=-1
+        )                                          # [XW, T, YT, 2(co+3)]
+
+        a2 = aff2_ref[0]
+        c2 = aff2_ref[1]
+        xc = (xc.astype(f32) * a2 + c2).astype(jnp.bfloat16)
+
+        n = XW * T * YT
+        r = jnp.dot(
+            xc.reshape(n, xc.shape[-1]), wr_ref[...],
+            preferred_element_type=f32,
+        ) + br_ref[0]
+        skip_dma.wait()
+        res = (
+            r.astype(jnp.bfloat16).reshape(XW, T, YT, co2)
+            + sbuf[...].astype(jnp.bfloat16)
+        )
+        obuf[...] = res.astype(obuf.dtype)
+        copy = pltpu.make_async_copy(
+            obuf,
+            out_ref.at[
+                pl.ds(x0 + 1, XW), pl.ds(1, T), pl.ds(16 + y0, YT)
+            ],
+            out_sem,
+        )
+        copy.start()
+        copy.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "ypad"))
+def _up_call(
+    parent, skip, wk, bd16, aff1, aff2, wr2, br2, ids, n_active, gmin,
+    scale, ypad,
+):
+    X2, T2, Y2, ci2 = parent.shape
+    X, T = 2 * X2, 2 * T2
+    co2 = wr2.shape[-1]
+    co = co2 // 2
+    y32 = skip.shape[2]
+    by = y32 // YT
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=((X // XW) * by,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # parent
+            pl.BlockSpec(memory_space=pltpu.ANY),   # skip
+            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, XW // 2, T2, YT // 2, ci2), parent.dtype),
+            pltpu.VMEM((XW, T, YT, co2), parent.dtype),
+            pltpu.VMEM((XW, T, YT, co2), parent.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(ids_ref, n_ref, gmin_ref, par_ref, skip_ref, wk_ref,
+               bd_ref, aff1_ref, aff2_ref, wr_ref, br_ref, out_ref,
+               pbuf, sbuf, obuf, in_sems, skip_sem, out_sem):
+        _up_kernel(
+            ids_ref, n_ref, gmin_ref, par_ref, skip_ref, wk_ref, bd_ref,
+            aff1_ref, aff2_ref, wr_ref, br_ref, out_ref,
+            pbuf, sbuf, obuf, in_sems, skip_sem, out_sem,
+            T=T, by=by, co=co, scale=scale,
+        )
+
+    # Padded chain layout [X+2, T+2, ypad, 2co]; non-active tiles and the
+    # border stay UNINITIALISED — the chain prologue masks by its int8
+    # mask volume, exactly as with pad_stage + uninitialised chain bufs.
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((X + 2, T + 2, ypad, co2), skip.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, n_active, gmin, parent, skip, wk, bd16, aff1, aff2, wr2, br2)
+
+
+def up_preamble_padded(
+    parent_masked: jnp.ndarray,   # [X/2, T/2, Y/2, 2Ci] masked parent
+    skip: jnp.ndarray,            # [X, T, Y, 2Co] (enc output, masked)
+    occ_xy: jnp.ndarray,          # [X, Y] any-z occupancy of the stage mask
+    box_min: jnp.ndarray,         # [3] int32 box corner (stride-1 units)
+    scale: int,
+    wd: jnp.ndarray,              # [8, Ci, Co] deconv weight
+    bd: jnp.ndarray,              # [Co] deconv bias
+    aff1: Tuple[jnp.ndarray, jnp.ndarray],   # up_bn (a, c) [2Co] f32
+    aff2: Tuple[jnp.ndarray, jnp.ndarray],   # resize_bn (a, c) [2(Co+3)]
+    wr: jnp.ndarray,              # [Co + 3, Co] resize weight
+    br: jnp.ndarray,              # [Co] resize bias
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Padded chain input [X+2, T+2, Y + 2*16 (+y rounding), 2Co].
+
+    Requires Y % 32 == 0 and X % 8 == 0 (see module docstring).
+    """
+    from pasco_tpu.ops.dense_ops import blockdiag2_weight
+    from pasco_tpu.ops.pallas_conv import active_tiles_xy
+
+    X2, T2, Y2, _ = parent_masked.shape
+    X, T, Y = 2 * X2, 2 * T2, 2 * Y2
+    co = wd.shape[-1]
+    assert Y % YT == 0 and X % XW == 0, (X, Y)
+    # The chain pads y by a 16-tile each side plus rounding; the kernel's
+    # interior offset is 16, so ypad must match pad_stage's shape.
+    ypad = Y + (-Y) % 16 + 32
+
+    wk = pack_deconv_weight(wd, compute_dtype)
+    bd16 = jnp.tile(
+        jnp.concatenate([bd, bd]).astype(jnp.float32), 8
+    ).reshape(1, 16 * co)
+    a1 = jnp.stack([aff1[0].astype(jnp.float32), aff1[1].astype(jnp.float32)])
+    a2 = jnp.stack([aff2[0].astype(jnp.float32), aff2[1].astype(jnp.float32)])
+    wr2 = blockdiag2_weight(wr).astype(compute_dtype)
+    br2 = jnp.concatenate([br, br]).astype(jnp.float32).reshape(1, 2 * co)
+    ids, n_active = active_tiles_xy(occ_xy, XW, YT)
+    return _up_call(
+        parent_masked.astype(compute_dtype), skip.astype(compute_dtype),
+        wk, bd16, a1, a2, wr2, br2, ids, n_active,
+        box_min.astype(jnp.int32), scale, ypad,
+    )

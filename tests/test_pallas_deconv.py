@@ -1,0 +1,126 @@
+"""Fused up-preamble kernel vs the XLA decoder preamble (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from pasco_tpu.core.sparse import Box
+from pasco_tpu.ops.dense_ops import (
+    blockdiag2_weight, cell_coords, deconv2_packed_to_packed, pack_z2,
+    upsample2_mask)
+from pasco_tpu.ops.pallas_conv import active_tiles_xy
+from pasco_tpu.ops.pallas_deconv import XW, YT, up_preamble_padded
+
+
+def xla_preamble(xm, skip, box, scale, wd, bd, a1, c1, a2, c2, wr, br):
+    """The DenseDecoderStage preamble, composed exactly (lean/inference)."""
+    cd = jnp.bfloat16
+    x = deconv2_packed_to_packed(xm, wd, bd, cd)
+    f = (x.astype(jnp.float32) * a1 + c1)
+    y1 = jnp.where(f > 0, f, 0.01 * f).astype(cd)
+    ch = wd.shape[-1]
+    norm_c = (
+        cell_coords(box, scale, "xzy").astype(jnp.float32) / scale
+    ).astype(cd)
+    ncp = pack_z2(norm_c)
+    xc = jnp.concatenate(
+        [y1[..., :ch], ncp[..., :3], y1[..., ch:], ncp[..., 3:]], axis=-1
+    )
+    xc = (xc.astype(jnp.float32) * a2 + c2).astype(cd)
+    wk = blockdiag2_weight(wr).astype(cd)
+    out = jnp.dot(xc.reshape(-1, xc.shape[-1]), wk).reshape(
+        *xc.shape[:-1], 2 * ch
+    )
+    out = out + jnp.concatenate([br, br]).astype(out.dtype)
+    return out.astype(cd) + skip.astype(cd)
+
+
+def test_up_preamble_matches_xla():
+    r = np.random.RandomState(0)
+    X, Z, Y = 16, 8, 64         # output stage extents (T = 4)
+    T = Z // 2
+    ci, co = 12, 8
+    scale = 2
+    xm = jnp.asarray(
+        r.randn(X // 2, T // 2, Y // 2, 2 * ci) * 0.5, jnp.bfloat16
+    )
+    skip = jnp.asarray(r.randn(X, T, Y, 2 * co) * 0.5, jnp.bfloat16)
+    wd = jnp.asarray(r.randn(8, ci, co) * 0.1, jnp.float32)
+    bd = jnp.asarray(r.randn(co) * 0.1, jnp.float32)
+    a1 = jnp.asarray(r.rand(2 * co) + 0.5, jnp.float32)
+    c1 = jnp.asarray(r.randn(2 * co) * 0.1, jnp.float32)
+    a2 = jnp.asarray(r.rand(2 * (co + 3)) + 0.5, jnp.float32)
+    c2 = jnp.asarray(r.randn(2 * (co + 3)) * 0.1, jnp.float32)
+    wr = jnp.asarray(r.randn(co + 3, co) * 0.1, jnp.float32)
+    br = jnp.asarray(r.randn(co) * 0.1, jnp.float32)
+    gmin = jnp.asarray([-8, 4, 2], jnp.int32)
+    box = Box.create(gmin, (X * scale, Y * scale, Z * scale))
+
+    ref = jax.jit(
+        lambda: xla_preamble(
+            xm, skip, box, scale, wd, bd, a1, c1, a2, c2, wr, br
+        )
+    )()
+
+    occ_xy = jnp.ones((X, Y), bool)       # all tiles active
+    with pltpu.force_tpu_interpret_mode():
+        got_pad = jax.jit(
+            lambda: up_preamble_padded(
+                xm, skip, occ_xy, gmin, scale, wd, bd, (a1, c1), (a2, c2),
+                wr, br,
+            )
+        )()
+    got = got_pad[1 : 1 + X, 1 : 1 + T, 16 : 16 + Y]
+
+    d = np.abs(
+        np.asarray(got.astype(jnp.float32)) - np.asarray(ref.astype(jnp.float32))
+    )
+    scale_ref = np.abs(np.asarray(ref.astype(jnp.float32))).max()
+    assert d.max() <= 0.05 * max(scale_ref, 1.0), (d.max(), scale_ref)
+
+
+def test_up_preamble_partial_tiles():
+    """Inactive tiles are skipped; active interior matches."""
+    r = np.random.RandomState(1)
+    X, Z, Y = 16, 4, 64
+    T = Z // 2
+    ci, co = 4, 4
+    scale = 1
+    xm = jnp.asarray(r.randn(X // 2, T // 2, Y // 2, 2 * ci), jnp.bfloat16)
+    skip = jnp.asarray(r.randn(X, T, Y, 2 * co), jnp.bfloat16)
+    wd = jnp.asarray(r.randn(8, ci, co) * 0.2, jnp.float32)
+    bd = jnp.zeros((co,), jnp.float32)
+    a1 = jnp.ones((2 * co,), jnp.float32)
+    c1 = jnp.zeros((2 * co,), jnp.float32)
+    a2 = jnp.ones((2 * (co + 3),), jnp.float32)
+    c2 = jnp.zeros((2 * (co + 3),), jnp.float32)
+    wr = jnp.asarray(r.randn(co + 3, co) * 0.2, jnp.float32)
+    br = jnp.zeros((co,), jnp.float32)
+    gmin = jnp.zeros((3,), jnp.int32)
+    box = Box.create(gmin, (X, Y, Z))
+
+    occ = np.zeros((X, Y), bool)
+    occ[:XW, :YT] = True                  # exactly one active tile
+    ref = jax.jit(
+        lambda: xla_preamble(
+            xm, skip, box, scale, wd, bd, a1, c1, a2, c2, wr, br
+        )
+    )()
+    with pltpu.force_tpu_interpret_mode():
+        got_pad = jax.jit(
+            lambda: up_preamble_padded(
+                xm, skip, jnp.asarray(occ), gmin, scale, wd, bd,
+                (a1, c1), (a2, c2), wr, br,
+            )
+        )()
+    got = got_pad[1 : 1 + XW, 1 : 1 + T, 16 : 16 + YT]
+    exp = ref[:XW, :, :YT]
+    d = np.abs(
+        np.asarray(got.astype(jnp.float32)) - np.asarray(exp.astype(jnp.float32))
+    )
+    assert d.max() < 0.05, d.max()
