@@ -25,12 +25,15 @@ from __future__ import annotations
 
 import json
 import os
+
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pasco_tpu.utils.cache import jax_cache_dir as _jax_cache_dir
 
 BASELINE_SCAN_SEC = 0.703  # reference PaSCo-single inference time on V100
 BASELINE_SCAN_SEC_N3 = 1.193  # reference PaSCo (n_infers=3), README.md:449
@@ -60,7 +63,9 @@ def main():
     # minutes; the cache makes every later run start in seconds.
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pasco_jax_cache"),
+        os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", _jax_cache_dir()
+    ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

@@ -13,9 +13,12 @@ import argparse
 import glob
 import json
 import os
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pasco_tpu.utils.cache import jax_cache_dir as _jax_cache_dir
 
 
 def capture(out_dir: str, iters: int) -> None:
@@ -23,7 +26,9 @@ def capture(out_dir: str, iters: int) -> None:
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pasco_jax_cache"),
+        os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", _jax_cache_dir()
+    ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp

@@ -13,9 +13,12 @@ from __future__ import annotations
 
 import argparse
 import os
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pasco_tpu.utils.cache import jax_cache_dir as _jax_cache_dir
 
 import numpy as np
 
@@ -56,7 +59,9 @@ def main():
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pasco_jax_cache"),
+        os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", _jax_cache_dir()
+    ),
     )
 
     from pasco_tpu.models.waffleiron import Segmenter

@@ -23,5 +23,6 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: full-model compiles are minutes on CPU; the
 # cache makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pasco_jax_cache")
+from pasco_tpu.utils.cache import jax_cache_dir
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
