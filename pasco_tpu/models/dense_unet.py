@@ -567,7 +567,7 @@ class DenseDecoderStage(nn.Module):
                 )(xpad, msk, train, ctx)
             # Decoder output needs no mask (heads/extraction re-mask).
             x = unpad_stage(xpad, y=Y1, c2=2 * ch)
-            return self._finish(x, msk, pk, cd, drop_on, train)
+            return self._finish(x, msk, pk, cd, drop_on, train, xpad)
         if self.in_packed and pk:
             x = deconv2_packed_to_packed(xm, wd, bd, cd)
         elif pk:
@@ -634,24 +634,32 @@ class DenseDecoderStage(nn.Module):
                 )(xpad, msk, train, ctx)
             # Decoder output needs no mask (heads/extraction re-mask).
             x = unpad_stage(xpad, y=x.shape[2], c2=x.shape[-1])
-        else:
-            for ri in range(self.n_res):
-                # Decoder blocks never need the output mask in lean mode:
-                # the heads/extraction re-mask and the next stage's deconv
-                # input is masked explicitly.
-                x = Block(
-                    ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
-                    mask_output=False, name=f"res{ri}",
-                )(x, msk, train)
-        return self._finish(x, msk, pk, cd, drop_on, train)
+            return self._finish(x, msk, pk, cd, drop_on, train, xpad)
+        for ri in range(self.n_res):
+            # Decoder blocks never need the output mask in lean mode:
+            # the heads/extraction re-mask and the next stage's deconv
+            # input is masked explicitly.
+            x = Block(
+                ch, self.axis_name, cd, packed=pk, pallas=self.pallas,
+                mask_output=False, name=f"res{ri}",
+            )(x, msk, train)
+        return self._finish(x, msk, pk, cd, drop_on, train, None)
 
-    def _finish(self, x, msk, pk, cd, drop_on, train):
-        """Dropout + per-subnet sem heads (shared by both preamble paths)."""
+    def _finish(self, x, msk, pk, cd, drop_on, train, xpad=None):
+        """Dropout + per-subnet sem heads (shared by both preamble paths).
+
+        Returns (x, sem, top_class, top_prob, msk, xpad) — ``xpad`` is the
+        fused chain's padded output buffer (None off the fused path), which
+        the panop refiner reuses to skip re-padding the volume."""
         ch = self.out_channels
         if self.dropout > 0.0:
             x = DenseSpatialDropout(
                 self.dropout, packed=pk, name="drop"
             )(x, deterministic=not drop_on)
+            if drop_on:
+                # xpad holds PRE-dropout values; MC-dropout consumers must
+                # re-pad the dropped features instead.
+                xpad = None
 
         wh = self.param(
             "head_kernel",
@@ -727,7 +735,7 @@ class DenseDecoderStage(nn.Module):
             sem = jnp.where(msk[..., None, None], sem, 0)
             top_class = jnp.where(msk[..., None], top_class, 0)
             top_prob = jnp.where(msk[..., None], top_prob, 0)
-        return x, sem, top_class, top_prob, msk
+        return x, sem, top_class, top_prob, msk, xpad
 
 
 class DenseVoxelFeatsRefiner(nn.Module):
@@ -792,11 +800,13 @@ class DenseVoxelFeatsRefiner(nn.Module):
         )(g, keep)
 
 
-def fused_refine_one(x, keep, w1, aff, w2, b2, cd):
+def fused_refine_one(x, keep, w1, aff, w2, b2, cd, xpad=None):
     """One subnet's refiner as a fused Pallas chain: conv1 with a
     mask-only prologue, the BN affine + relu as conv2's prologue,
     keep-based active tiles (keep is the subnet's pruned set — sparser
-    than the stage mask)."""
+    than the stage mask).  ``xpad``: the decoder chain's padded output
+    buffer when available — skips re-padding the volume the chain just
+    unpadded (garbage at non-kept cells is masked by the prologue)."""
     from pasco_tpu.ops.pallas_conv import (
         active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
         stage_mask8)
@@ -804,8 +814,10 @@ def fused_refine_one(x, keep, w1, aff, w2, b2, cd):
     plan = conv_plan(x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True)
     m8 = stage_mask8(keep, x.shape[-1])
     ids, n_act = active_tiles_xy(jnp.any(keep, axis=1), plan[0], plan[1])
+    if xpad is None:
+        xpad = pad_stage(x)
     g = fused_packed_conv(
-        pad_stage(x), w1, m8, ids, n_act, out_padded=True, compute_dtype=cd,
+        xpad, w1, m8, ids, n_act, out_padded=True, compute_dtype=cd,
         plan=plan,
     )
     out = fused_packed_conv(
@@ -995,12 +1007,13 @@ class DensePaSCoNet(nn.Module):
         dense_sem: Dict[int, jnp.ndarray] = {}
         dense_keep: Dict[int, jnp.ndarray] = {}
         dense_feats: Dict[int, jnp.ndarray] = {}
+        dense_feats_pad: Dict[int, Optional[jnp.ndarray]] = {}
 
         dense_top: Dict[int, jnp.ndarray] = {}
         dec_n_res = 7 if m.heavy_decoder else 3
         for i, scale in enumerate((4, 2, 1)):
             ch = dec_ch[i + 1]
-            x, sem, top_class, top_prob, msk = DenseDecoderStage(
+            x, sem, top_class, top_prob, msk, x_padbuf = DenseDecoderStage(
                 ch, S, m.n_classes, dec_n_res, scale, self.axis_name, cd,
                 m.remat,
                 in_packed=(scale * 2) in packed_scales,
@@ -1033,6 +1046,7 @@ class DensePaSCoNet(nn.Module):
             dense_top[scale] = top_class
             dense_keep[scale] = keep
             dense_feats[scale] = x
+            dense_feats_pad[scale] = x_padbuf
 
             # Aux sem logits at scales 2/4 feed the multiscale completion
             # loss only; at inference only scale 1 is consumed (semantic
@@ -1133,6 +1147,7 @@ class DensePaSCoNet(nn.Module):
                             fused_refine_one(
                                 xdense, keep_stack[s], w1s[s],
                                 (a_s[s], c_s[s]), w2s[s], b2s[s], cd,
+                                xpad=dense_feats_pad.get(scale),
                             )
                             for s in range(S)
                         ]
