@@ -1,0 +1,223 @@
+"""Fused encoder down step: strided conv + BN/leaky/BN/relu from the
+padded chain buffer into the next stage's padded chain buffer.
+
+The XLA form between two fused encoder chains runs: unpad + mask select
+(for the down conv's benefit), the down conv's group relayout + matmul,
+two BN elementwise passes, and the next stage's ``pad_stage`` — ~7-8
+ms/scan of full-volume passes at enc_s2 + echoes at s4/s8.  This kernel
+reads (8, 16)-output tiles straight from the producer chain's PADDED
+buffer (input masking by the producer stage's int8 mask rides the
+prologue, so the chain's uninitialised inactive tiles are never
+trusted), does the stride-2 conv as ONE MXU dot against the grouped
+weight, applies both inference BN affines + leaky/relu on the resident
+tile, and writes the interior of the consumer chain's padded buffer
+(its ``pad_stage`` disappears).  Mirrors the reference's strided
+``MinkowskiConvolution`` + BN pairs in ``Encoder3DSepV2``
+(``pasco/models/encoder_v2.py``), restructured for the MXU.
+
+Inference-only, like the fused chain.  All flagship stage shapes
+qualify (offsets stay 16-aligned because output y tiles are 16 rows =
+32 input rows); stages whose chain buffers lane-fold keep the XLA form.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+XW = 8     # output-tile x extent (input 16)
+YT = 16    # output-tile y extent (input 32)
+
+
+def pack_down_weight(weight: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[8, Ci, Co] -> [(ix, it, iy, 2Ci), 2Co] grouped stride-2 weight
+    (same math as ``dense_ops.down2_packed_to_packed``)."""
+    ci, co = weight.shape[1], weight.shape[2]
+    w3 = weight.reshape(2, 2, 2, ci, co)
+    wk = jnp.zeros((2, 2, 2, 2 * ci, 2 * co), weight.dtype)
+    for it in range(2):
+        for pz in range(2):
+            wk = wk.at[
+                :, it, :, pz * ci : (pz + 1) * ci, it * co : (it + 1) * co
+            ].set(w3[:, :, pz])
+    return wk.reshape(8 * 2 * ci, 2 * co).astype(dtype)
+
+
+def _group_tile(xt, T2, c2):
+    """[16, 2*T2, 32, c2] input tile -> [8, T2, 16, 8*c2] grouped rows
+    with lane order (ix, it, iy, c2).  ix/it interleaves live on untiled
+    dims; the iy unzip is the one tiled-dim relayout."""
+    v = xt.reshape(8, 2, T2, 2, 16, 2, c2)
+    v = v.transpose(0, 2, 4, 1, 3, 5, 6)
+    return v.reshape(8, T2, 16, 8 * c2)
+
+
+def _down_kernel(
+    ids_ref, n_ref,
+    xp_ref,                   # HBM [X+2, T+2, Ypad_in, c2] producer chain
+    m_ref,                    # HBM same-shape int8 producer stage mask
+    wk_ref,                   # VMEM [8*c2, 2co]
+    b_ref,                    # VMEM [1, 2co] f32
+    aff_ref,                  # VMEM [4, 2co] f32: a1, c1, a2, c2
+    out_ref,                  # HBM [X2+2, T2+2, Ypad_out, 2co]
+    in_bufs,                  # VMEM [2, 16, T, 32, c2]
+    m_bufs,                   # VMEM [2, 16, T, 32, c2] int8
+    obuf,                     # VMEM [XW, T2, YT, 2co]
+    in_sems, m_sems, out_sem,
+    *,
+    T: int, by: int,
+):
+    g = pl.program_id(0)
+    n_act = n_ref[0]
+    T2 = T // 2
+
+    def dma(src, bufs, sems, slot, idx):
+        tid = ids_ref[idx]
+        return pltpu.make_async_copy(
+            src.at[
+                pl.ds(1 + (tid // by) * 16, 16), pl.ds(1, T),
+                pl.ds(16 + (tid % by) * 32, 32),
+            ],
+            bufs.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        @pl.when(n_act > 0)
+        def _():
+            dma(xp_ref, in_bufs, in_sems, 0, 0).start()
+            dma(m_ref, m_bufs, m_sems, 0, 0).start()
+
+    @pl.when(g < n_act)
+    def _():
+        tid = ids_ref[g]
+        x0 = (tid // by) * XW
+        y0 = (tid % by) * YT
+        slot = jax.lax.rem(g, 2)
+        dma(xp_ref, in_bufs, in_sems, slot, g).wait()
+        dma(m_ref, m_bufs, m_sems, slot, g).wait()
+
+        @pl.when(g + 1 < n_act)
+        def _():
+            dma(xp_ref, in_bufs, in_sems, 1 - slot, g + 1).start()
+            dma(m_ref, m_bufs, m_sems, 1 - slot, g + 1).start()
+
+        c2 = in_bufs.shape[-1]
+        co2 = obuf.shape[-1]
+        f32 = jnp.float32
+        # Producer-chain buffers are uninitialised outside active tiles:
+        # select by the stage mask (0 * NaN = NaN, so select not multiply).
+        xt = jnp.where(m_bufs[slot] != 0, in_bufs[slot], 0)
+        lhs = _group_tile(xt, T2, c2).reshape(XW * T2 * YT, 8 * c2)
+        acc = jnp.dot(
+            lhs, wk_ref[...], preferred_element_type=f32
+        ) + b_ref[0]
+        a1, c1, a2, c2r = aff_ref[0], aff_ref[1], aff_ref[2], aff_ref[3]
+        y = acc * a1 + c1
+        y = jnp.where(y > 0, y, 0.01 * y)
+        y = y * a2 + c2r
+        y = jnp.maximum(y, 0)
+        obuf[...] = y.reshape(XW, T2, YT, co2).astype(obuf.dtype)
+        copy = pltpu.make_async_copy(
+            obuf,
+            out_ref.at[
+                pl.ds(x0 + 1, XW), pl.ds(1, T2), pl.ds(16 + y0, YT)
+            ],
+            out_sem,
+        )
+        copy.start()
+        copy.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("ypad_out",))
+def _down_call(xp, m8, wk, b2, aff, ids, n_active, ypad_out):
+    Xp, Tp, Ypad_in, c2 = xp.shape
+    X, T = Xp - 2, Tp - 2
+    X2, T2 = X // 2, T // 2
+    co2 = wk.shape[-1]
+    Y2 = (Ypad_in - 32)            # input interior incl. y rounding
+    by = -(-(Y2 // 2) // YT)       # output y tiles (rounded up)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((X2 // XW) * by,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # chain buffer
+            pl.BlockSpec(memory_space=pltpu.ANY),   # int8 stage mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # grouped weight
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # affines
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, T, 32, c2), xp.dtype),
+            pltpu.VMEM((2, 16, T, 32, c2), jnp.int8),
+            pltpu.VMEM((XW, T2, YT, co2), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(ids_ref, n_ref, xp_ref, m_ref, wk_ref, b_ref, aff_ref,
+               out_ref, in_bufs, m_bufs, obuf, in_sems, m_sems, out_sem):
+        _down_kernel(
+            ids_ref, n_ref, xp_ref, m_ref, wk_ref, b_ref, aff_ref,
+            out_ref, in_bufs, m_bufs, obuf, in_sems, m_sems, out_sem,
+            T=T, by=by,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (X2 + 2, T2 + 2, ypad_out, co2), xp.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, n_active, xp, m8, wk, b2, aff)
+
+
+def down_padded_to_padded(
+    xpad: jnp.ndarray,         # producer chain's padded buffer
+    mask8: jnp.ndarray,        # producer stage's int8 mask (stage_mask8)
+    new_occ_xy: jnp.ndarray,   # [X/2, Y/2] any-z occupancy of the new mask
+    wd: jnp.ndarray,           # [8, Ci, Co]
+    bd: jnp.ndarray,           # [Co]
+    aff1: Tuple[jnp.ndarray, jnp.ndarray],   # bn1 (a, c) [2Co] f32
+    aff2: Tuple[jnp.ndarray, jnp.ndarray],   # bn2 (a, c) [2Co] f32
+    y_out: int,                # unpadded output Y extent
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Padded next-chain input [X/2+2, T/2+2, y_out(+rounding)+32, 2Co].
+
+    Cells outside the new mask hold garbage — every consumer (the next
+    chain's prologue) masks; the next stage's ``stage_mask8``/actives are
+    built from the new mask in XLA as before.
+    """
+    from pasco_tpu.ops.pallas_conv import active_tiles_xy
+
+    co = wd.shape[-1]
+    wk = pack_down_weight(wd, compute_dtype)
+    b2 = jnp.concatenate([bd, bd]).astype(jnp.float32).reshape(1, 2 * co)
+    aff = jnp.stack(
+        [
+            aff1[0].astype(jnp.float32), aff1[1].astype(jnp.float32),
+            aff2[0].astype(jnp.float32), aff2[1].astype(jnp.float32),
+        ]
+    )
+    ypad_out = y_out + (-y_out) % 16 + 32
+    ids, n_active = active_tiles_xy(new_occ_xy, XW, YT)
+    return _down_call(
+        xpad.astype(compute_dtype), mask8, wk, b2, aff, ids, n_active,
+        ypad_out,
+    )
