@@ -26,3 +26,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 from pasco_tpu.utils.cache import jax_cache_dir
 jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Do NOT serialize XLA-internal (CPU AOT) blobs into cache entries: writing
+# them intermittently aborts the process on the big train-step executables
+# (observed twice at tests/test_train_step.py late in a full run), and
+# loading blobs produced under another host's CPU features SIGILLs.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
