@@ -384,10 +384,22 @@ class DenseDown(nn.Module):
     out_packed: bool = False
 
     @nn.compact
-    def __call__(self, x, mask, train):
+    def __call__(self, x, mask, train, params_only=False):
         in_ch = x.shape[-1] // 2 if self.in_packed else x.shape[-1]
         w = self.param("kernel", _conv_init, (8, in_ch, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if params_only:
+            # Fused down-kernel driver path (ops/pallas_down.py): weights
+            # plus both inference BN affines; ``x`` is a channel-count
+            # token.
+            tok = jnp.zeros((1, 1, 1, 2 * self.out_channels), x.dtype)
+            a1, c1 = DenseBN(
+                self.axis_name, packed=self.out_packed, name="bn1"
+            )(tok, mask, train, affine_only=True)
+            a2, c2 = DenseBN(
+                self.axis_name, packed=self.out_packed, name="bn2"
+            )(tok, mask, train, affine_only=True)
+            return w, b, (a1, c1), (a2, c2)
         if self.in_packed and self.out_packed:
             out = down2_packed_to_packed(x, w, b, self.compute_dtype)
         elif self.in_packed:
@@ -426,58 +438,101 @@ class DenseEncStage(nn.Module):
     pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, mask, train):
+    def __call__(self, x, mask, train, prev_ctx=None):
+        """``prev_ctx``: the PREVIOUS fused stage's (padded chain buffer,
+        int8 stage mask) — lets the down step run as a Pallas kernel from
+        padded to padded (ops/pallas_down.py) with zero XLA passes between
+        the two chains.  Returns (x, mask, xpad, m8); xpad/m8 are None off
+        the fused path."""
+        from pasco_tpu.ops.pallas_conv import lane_fold
+
+        ch = self.out_channels
         Block = (
             nn.remat(DenseResBlock, static_argnums=(3,))
             if self.remat
             else DenseResBlock
         )
-        if self.down:
+        X1 = x.shape[0] // 2 if self.down else x.shape[0]
+        T1 = x.shape[1] // 2 if self.down else x.shape[1]
+        fused = (
+            self.pallas and self.out_packed and not train and self.n_res > 0
+            and X1 % 8 == 0
+            and lane_fold(2 * ch, 2 * ch, T1) == 1
+        )
+        fused_down = (
+            self.down and fused and self.in_packed and prev_ctx is not None
+            and prev_ctx[0] is not None
+            # the producer's padded buffer must be unfolded (the down
+            # kernel reads the plain z-pair layout)
+            and lane_fold(x.shape[-1], x.shape[-1], x.shape[1]) == 1
+        )
+        xpad = None
+        if fused_down:
+            from pasco_tpu.ops.dense_ops import maxpool2_mask
+            from pasco_tpu.ops.pallas_down import down_padded_to_padded
+
+            new_mask = maxpool2_mask(mask)
+            wdn, bdn, a1, a2 = DenseDown(
+                ch, self.axis_name, self.compute_dtype,
+                in_packed=True, out_packed=True, name="down",
+            )(x, new_mask, train, params_only=True)
+            xpad = down_padded_to_padded(
+                prev_ctx[0], prev_ctx[1], jnp.any(new_mask, axis=1),
+                wdn, bdn, a1, a2, y_out=x.shape[2] // 2,
+                compute_dtype=self.compute_dtype or x.dtype,
+            )
+            mask = new_mask
+        elif self.down:
             x, mask = DenseDown(
-                self.out_channels, self.axis_name, self.compute_dtype,
+                ch, self.axis_name, self.compute_dtype,
                 in_packed=self.in_packed, out_packed=self.out_packed,
                 name="down",
             )(x, mask, train)
-        fused = (
-            self.pallas and self.out_packed and not train and self.n_res > 0
-            and x.shape[0] % 8 == 0
-            and x.shape[-1] // 2 == self.out_channels
-        )
+        # Re-derive the chain gate on the post-down tensor when the Pallas
+        # down was unavailable (channel mismatch etc. show up here).
+        if not fused_down:
+            fused = (
+                fused and x.shape[0] % 8 == 0 and x.shape[-1] // 2 == ch
+            )
         if fused:
             from pasco_tpu.ops.pallas_conv import (
                 active_tiles_xy, conv_plan, pad_stage, stage_mask8,
                 unpad_stage)
 
-            plan = conv_plan(
-                x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True
-            )
+            Y1 = x.shape[2] // 2 if fused_down else x.shape[2]
+            plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True)
+            m8 = stage_mask8(mask, 2 * ch)
             ctx = (
-                stage_mask8(mask, x.shape[-1]),
+                m8,
                 *active_tiles_xy(jnp.any(mask, axis=1), plan[0], plan[1]),
             )
-            xpad = pad_stage(x)
+            if xpad is None:
+                xpad = pad_stage(x)
             for i in range(self.n_res):
                 xpad = Block(
-                    self.out_channels, self.axis_name, self.compute_dtype,
+                    ch, self.axis_name, self.compute_dtype,
                     packed=True, pallas=True, fused_plan=plan,
                     name=f"res{i}",
                 )(xpad, mask, train, ctx)
-            # stage-final mask: the next stage's XLA down conv reads every
-            # cell, so empties must be exact zeros.
+            # stage-final mask: consumers outside the kernels (XLA down
+            # convs, dec preamble skip adds) read every cell, so empties
+            # must be exact zeros.
             return (
-                _mm(unpad_stage(xpad, y=x.shape[2], c2=x.shape[-1]), mask, True),
+                _mm(unpad_stage(xpad, y=Y1, c2=2 * ch), mask, True),
                 mask,
+                xpad,
+                m8,
             )
         for i in range(self.n_res):
             # Only the stage-final block masks its output: the stage feeds
             # an XLA down conv (a strided matmul that reads every cell);
             # interior consumers all mask internally.
             x = Block(
-                self.out_channels, self.axis_name, self.compute_dtype,
+                ch, self.axis_name, self.compute_dtype,
                 packed=self.out_packed, pallas=self.pallas,
                 mask_output=(i == self.n_res - 1), name=f"res{i}",
             )(x, mask, train)
-        return x, mask
+        return x, mask, None, None
 
 
 class DenseDecoderStage(nn.Module):
@@ -955,20 +1010,20 @@ class DensePaSCoNet(nn.Module):
             fm[0], 1, compute_dtype=cd, packed=zp,
             mask_output=not (zp and n_res > 0), name="enc_in",
         )(x, mask1)
-        x, _ = DenseEncStage(
+        x, _, enc_xpad, enc_m8 = DenseEncStage(
             fm[0], False, n_res, self.axis_name, cd, m.remat,
             in_packed=zp, out_packed=zp, pallas=pallas, name="enc_s1",
         )(x, mask1, train)
         enc = {1: (x, mask1)}
         masks = {1: mask1}
         for si, stride in enumerate((2, 4, 8)):
-            x, msk = DenseEncStage(
+            x, msk, enc_xpad, enc_m8 = DenseEncStage(
                 fm[si + 1], True, n_res, self.axis_name, cd, m.remat,
                 in_packed=(stride // 2) in packed_scales,
                 out_packed=stride in packed_scales,
                 pallas=pallas and stride in packed_scales,
                 name=f"enc_s{stride}",
-            )(x, masks[stride // 2], train)
+            )(x, masks[stride // 2], train, (enc_xpad, enc_m8))
             # Per-stage spatial dropout (reference encoder_v2.py:157-171;
             # the reference only builds these layers in the heavy branch —
             # here they act in both branches whenever the rate is non-zero,
@@ -979,6 +1034,7 @@ class DensePaSCoNet(nn.Module):
                     edr, packed=stride in packed_scales,
                     name=f"enc_drop_s{stride}",
                 )(x, deterministic=not drop_on)
+                enc_xpad = enc_m8 = None   # padded buffer is pre-dropout
             enc[stride] = (x, msk)
             masks[stride] = msk
 
