@@ -38,6 +38,15 @@ XW = 8          # output-tile x extent (parent 4)
 YT = 32         # output-tile y extent (parent 16 — sublane aligned)
 
 
+def _iota_f32(shape, dim):
+    # Mosaic's tpu.iota only produces integer vectors on-chip (a float
+    # iota passes interpret mode but fails hardware lowering), so build
+    # int32 and convert.
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32
+    )
+
+
 def pack_deconv_weight(
     weight: jnp.ndarray,       # [8, Ci, Co] (kernel_offsets(2) order)
     dtype,
@@ -89,7 +98,7 @@ def _up_kernel(
     obuf,                     # VMEM [XW, T, YT, 2co]
     in_sems, skip_sem, out_sem,
     *,
-    T: int, by: int, co: int, scale: int,
+    T: int, by: int, co: int, scale: int, xw: int = XW,
 ):
     g = pl.program_id(0)
     n_act = n_ref[0]
@@ -101,7 +110,7 @@ def _up_kernel(
         tid = ids_ref[idx]
         return pltpu.make_async_copy(
             par_ref.at[
-                pl.ds((tid // by) * (XW // 2), XW // 2), :,
+                pl.ds((tid // by) * (xw // 2), xw // 2), :,
                 pl.ds((tid % by) * (YT // 2), YT // 2),
             ],
             pbuf.at[slot],
@@ -117,10 +126,10 @@ def _up_kernel(
     @pl.when(g < n_act)
     def _():
         tid = ids_ref[g]
-        x0 = (tid // by) * XW
+        x0 = (tid // by) * xw
         y0 = (tid % by) * YT
         skip_dma = pltpu.make_async_copy(
-            skip_ref.at[pl.ds(x0, XW), :, pl.ds(y0, YT)],
+            skip_ref.at[pl.ds(x0, xw), :, pl.ds(y0, YT)],
             sbuf,
             skip_sem,
         )
@@ -133,13 +142,13 @@ def _up_kernel(
             par_dma(1 - slot, g + 1).start()
 
         ci2 = pbuf.shape[-1]
-        n2 = (XW // 2) * T2 * (YT // 2)
+        n2 = (xw // 2) * T2 * (YT // 2)
         v = jnp.dot(
             pbuf[slot].reshape(n2, ci2), wk_ref[...],
             preferred_element_type=f32,
         ) + bd_ref[0]
         child = _unfold_children(
-            v.astype(jnp.bfloat16).reshape(XW // 2, T2, YT // 2, 16 * co),
+            v.astype(jnp.bfloat16).reshape(xw // 2, T2, YT // 2, 16 * co),
             T2, co2,
         )                                          # [XW, T, YT, 2co] bf16
 
@@ -153,13 +162,13 @@ def _up_kernel(
         # bf16 rounding — identical to cell_coords()/scale .astype(bf16).
         gx = (
             gmin_ref[0].astype(f32)
-            + scale * (x0 + jax.lax.broadcasted_iota(f32, (XW, T, YT), 0))
+            + scale * (x0 + _iota_f32((xw, T, YT), 0))
         ) / scale
         gy = (
             gmin_ref[1].astype(f32)
-            + scale * (y0 + jax.lax.broadcasted_iota(f32, (XW, T, YT), 2))
+            + scale * (y0 + _iota_f32((xw, T, YT), 2))
         ) / scale
-        tz = 2.0 * jax.lax.broadcasted_iota(f32, (XW, T, YT), 1)
+        tz = 2.0 * _iota_f32((xw, T, YT), 1)
         gz_lo = (gmin_ref[2].astype(f32) + scale * tz) / scale
         gz_hi = (gmin_ref[2].astype(f32) + scale * (tz + 1.0)) / scale
         cl = [c[..., None].astype(jnp.bfloat16) for c in (gx, gy, gz_lo)]
@@ -172,26 +181,43 @@ def _up_kernel(
         c2 = aff2_ref[1]
         xc = (xc.astype(f32) * a2 + c2).astype(jnp.bfloat16)
 
-        n = XW * T * YT
+        n = xw * T * YT
         r = jnp.dot(
             xc.reshape(n, xc.shape[-1]), wr_ref[...],
             preferred_element_type=f32,
         ) + br_ref[0]
         skip_dma.wait()
         res = (
-            r.astype(jnp.bfloat16).reshape(XW, T, YT, co2)
+            r.astype(jnp.bfloat16).reshape(xw, T, YT, co2)
             + sbuf[...].astype(jnp.bfloat16)
         )
         obuf[...] = res.astype(obuf.dtype)
         copy = pltpu.make_async_copy(
             obuf,
             out_ref.at[
-                pl.ds(x0 + 1, XW), pl.ds(1, T), pl.ds(16 + y0, YT)
+                pl.ds(x0 + 1, xw), pl.ds(1, T), pl.ds(16 + y0, YT)
             ],
             out_sem,
         )
         copy.start()
         copy.wait()
+
+
+def up_plan(ci2: int, co2: int, T: int) -> int:
+    """Pick the output-tile x extent ``xw`` so the kernel's scratch plus
+    Mosaic's value-stack intermediates (the unfolded child tile, its f32
+    BN/coords/resize temps) fit scoped VMEM — same budget discipline as
+    ``pallas_conv.conv_plan`` / ``pallas_down.down_plan``."""
+    from pasco_tpu.ops.pallas_conv import _SCOPED_VMEM_BUDGET
+
+    for xw in (8, 4, 2):
+        ob = xw * T * YT * co2 * 2          # one bf16 output-tile volume
+        pslot = (xw // 2) * (T // 2) * (YT // 2) * ci2 * 2
+        wkb = ci2 * 8 * co2 * 2
+        total = 2 * pslot + 2 * ob + wkb + 9 * ob + 2**20
+        if total <= _SCOPED_VMEM_BUDGET:
+            return xw
+    return 2
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "ypad"))
@@ -205,10 +231,11 @@ def _up_call(
     co = co2 // 2
     y32 = skip.shape[2]
     by = y32 // YT
+    xw = up_plan(ci2, co2, T)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=((X // XW) * by,),
+        grid=((X // xw) * by,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # parent
             pl.BlockSpec(memory_space=pltpu.ANY),   # skip
@@ -216,9 +243,9 @@ def _up_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, XW // 2, T2, YT // 2, ci2), parent.dtype),
-            pltpu.VMEM((XW, T, YT, co2), parent.dtype),
-            pltpu.VMEM((XW, T, YT, co2), parent.dtype),
+            pltpu.VMEM((2, xw // 2, T2, YT // 2, ci2), parent.dtype),
+            pltpu.VMEM((xw, T, YT, co2), parent.dtype),
+            pltpu.VMEM((xw, T, YT, co2), parent.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -232,7 +259,7 @@ def _up_call(
             ids_ref, n_ref, gmin_ref, par_ref, skip_ref, wk_ref, bd_ref,
             aff1_ref, aff2_ref, wr_ref, br_ref, out_ref,
             pbuf, sbuf, obuf, in_sems, skip_sem, out_sem,
-            T=T, by=by, co=co, scale=scale,
+            T=T, by=by, co=co, scale=scale, xw=xw,
         )
 
     # Padded chain layout [X+2, T+2, ypad, 2co]; non-active tiles and the
@@ -267,10 +294,13 @@ def up_preamble_padded(
     from pasco_tpu.ops.dense_ops import blockdiag2_weight
     from pasco_tpu.ops.pallas_conv import active_tiles_xy
 
-    X2, T2, Y2, _ = parent_masked.shape
+    X2, T2, Y2, ci2 = parent_masked.shape
     X, T, Y = 2 * X2, 2 * T2, 2 * Y2
     co = wd.shape[-1]
-    assert Y % YT == 0 and X % XW == 0, (X, Y)
+    # Same plan _up_call derives from the argument shapes — the tile ids
+    # must be built with the identical x extent.
+    xw = up_plan(ci2, 2 * co, T)
+    assert Y % YT == 0 and X % xw == 0, (X, Y)
     # The chain pads y by a 16-tile each side plus rounding; the kernel's
     # interior offset is 16, so ypad must match pad_stage's shape.
     ypad = Y + (-Y) % 16 + 32
@@ -283,7 +313,7 @@ def up_preamble_padded(
     a2 = jnp.stack([aff2[0].astype(jnp.float32), aff2[1].astype(jnp.float32)])
     wr2 = blockdiag2_weight(wr).astype(compute_dtype)
     br2 = jnp.concatenate([br, br]).astype(jnp.float32).reshape(1, 2 * co)
-    ids, n_active = active_tiles_xy(occ_xy, XW, YT)
+    ids, n_active = active_tiles_xy(occ_xy, xw, YT)
     return _up_call(
         parent_masked.astype(compute_dtype), skip.astype(compute_dtype),
         wk, bd16, a1, a2, wr2, br2, ids, n_active,

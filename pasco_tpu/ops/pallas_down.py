@@ -34,8 +34,39 @@ try:  # pragma: no cover
 except ImportError:  # pragma: no cover
     pltpu = None
 
-XW = 8     # output-tile x extent (input 16)
-YT = 16    # output-tile y extent (input 32)
+XW = 8     # default output-tile x extent (input 16)
+YT = 16    # output-tile y extent (input 32; y stays 16 so the padded
+           # output writes keep their 16-row sublane alignment)
+
+
+def down_plan(c2: int, co2: int, T: int) -> Tuple[int, bool]:
+    """Pick ``(xw, double_buffer)`` so the kernel fits scoped VMEM.
+
+    The Mosaic scoped-vmem accounting covers the declared scratch PLUS
+    the kernel's live value stack (the masked tile, the grouped-relayout
+    copies, the f32 accumulator) — at the flagship enc_s4 shape the
+    naive (8, double-buffered) layout measured 19.46M > the 16M limit
+    on-chip, so the ladder trades DMA/compute overlap for footprint
+    exactly like ``pallas_conv.conv_plan``.
+    """
+    from pasco_tpu.ops.pallas_conv import _SCOPED_VMEM_BUDGET
+
+    T2 = T // 2
+    for xw, db in (
+        (8, True), (8, False), (4, True), (4, False), (2, False)
+    ):
+        tile_in = (2 * xw) * T * 32 * c2 * 2          # one bf16 in-slot
+        inb = (2 if db else 1) * tile_in
+        mb = inb // 2                                  # int8 mask mirror
+        outb = xw * T2 * YT * co2 * 2
+        acc = xw * T2 * YT * co2 * 4                   # f32 accumulator
+                      # value stack: masked tile + grouped copies + temps
+        interm = 3 * tile_in + 2 * outb + acc
+        wkb = 8 * c2 * co2 * 2
+        total = inb + mb + interm + outb + wkb + 2**20
+        if total <= _SCOPED_VMEM_BUDGET:
+            return xw, db
+    return 2, False
 
 
 def pack_down_weight(weight: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -52,13 +83,13 @@ def pack_down_weight(weight: jnp.ndarray, dtype) -> jnp.ndarray:
     return wk.reshape(8 * 2 * ci, 2 * co).astype(dtype)
 
 
-def _group_tile(xt, T2, c2):
-    """[16, 2*T2, 32, c2] input tile -> [8, T2, 16, 8*c2] grouped rows
-    with lane order (ix, it, iy, c2).  ix/it interleaves live on untiled
-    dims; the iy unzip is the one tiled-dim relayout."""
-    v = xt.reshape(8, 2, T2, 2, 16, 2, c2)
+def _group_tile(xt, T2, c2, xw=XW):
+    """[2*xw, 2*T2, 32, c2] input tile -> [xw, T2, 16, 8*c2] grouped
+    rows with lane order (ix, it, iy, c2).  ix/it interleaves live on
+    untiled dims; the iy unzip is the one tiled-dim relayout."""
+    v = xt.reshape(xw, 2, T2, 2, 16, 2, c2)
     v = v.transpose(0, 2, 4, 1, 3, 5, 6)
-    return v.reshape(8, T2, 16, 8 * c2)
+    return v.reshape(xw, T2, 16, 8 * c2)
 
 
 def _down_kernel(
@@ -74,7 +105,7 @@ def _down_kernel(
     obuf,                     # VMEM [XW, T2, YT, 2co]
     in_sems, m_sems, out_sem,
     *,
-    T: int, by: int,
+    T: int, by: int, xw: int, db: bool,
 ):
     g = pl.program_id(0)
     n_act = n_ref[0]
@@ -84,33 +115,38 @@ def _down_kernel(
         tid = ids_ref[idx]
         return pltpu.make_async_copy(
             src.at[
-                pl.ds(1 + (tid // by) * 16, 16), pl.ds(1, T),
+                pl.ds(1 + (tid // by) * (2 * xw), 2 * xw), pl.ds(1, T),
                 pl.ds(16 + (tid % by) * 32, 32),
             ],
             bufs.at[slot],
             sems.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        @pl.when(n_act > 0)
+    if db:
+        @pl.when(g == 0)
         def _():
-            dma(xp_ref, in_bufs, in_sems, 0, 0).start()
-            dma(m_ref, m_bufs, m_sems, 0, 0).start()
+            @pl.when(n_act > 0)
+            def _():
+                dma(xp_ref, in_bufs, in_sems, 0, 0).start()
+                dma(m_ref, m_bufs, m_sems, 0, 0).start()
 
     @pl.when(g < n_act)
     def _():
         tid = ids_ref[g]
-        x0 = (tid // by) * XW
+        x0 = (tid // by) * xw
         y0 = (tid % by) * YT
-        slot = jax.lax.rem(g, 2)
+        slot = jax.lax.rem(g, 2) if db else 0
+        if not db:     # single-buffered: serial DMA per step
+            dma(xp_ref, in_bufs, in_sems, 0, g).start()
+            dma(m_ref, m_bufs, m_sems, 0, g).start()
         dma(xp_ref, in_bufs, in_sems, slot, g).wait()
         dma(m_ref, m_bufs, m_sems, slot, g).wait()
 
-        @pl.when(g + 1 < n_act)
-        def _():
-            dma(xp_ref, in_bufs, in_sems, 1 - slot, g + 1).start()
-            dma(m_ref, m_bufs, m_sems, 1 - slot, g + 1).start()
+        if db:
+            @pl.when(g + 1 < n_act)
+            def _():
+                dma(xp_ref, in_bufs, in_sems, 1 - slot, g + 1).start()
+                dma(m_ref, m_bufs, m_sems, 1 - slot, g + 1).start()
 
         c2 = in_bufs.shape[-1]
         co2 = obuf.shape[-1]
@@ -118,7 +154,7 @@ def _down_kernel(
         # Producer-chain buffers are uninitialised outside active tiles:
         # select by the stage mask (0 * NaN = NaN, so select not multiply).
         xt = jnp.where(m_bufs[slot] != 0, in_bufs[slot], 0)
-        lhs = _group_tile(xt, T2, c2).reshape(XW * T2 * YT, 8 * c2)
+        lhs = _group_tile(xt, T2, c2, xw).reshape(xw * T2 * YT, 8 * c2)
         acc = jnp.dot(
             lhs, wk_ref[...], preferred_element_type=f32
         ) + b_ref[0]
@@ -127,11 +163,11 @@ def _down_kernel(
         y = jnp.where(y > 0, y, 0.01 * y)
         y = y * a2 + c2r
         y = jnp.maximum(y, 0)
-        obuf[...] = y.reshape(XW, T2, YT, co2).astype(obuf.dtype)
+        obuf[...] = y.reshape(xw, T2, YT, co2).astype(obuf.dtype)
         copy = pltpu.make_async_copy(
             obuf,
             out_ref.at[
-                pl.ds(x0 + 1, XW), pl.ds(1, T2), pl.ds(16 + y0, YT)
+                pl.ds(x0 + 1, xw), pl.ds(1, T2), pl.ds(16 + y0, YT)
             ],
             out_sem,
         )
@@ -139,18 +175,19 @@ def _down_kernel(
         copy.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("ypad_out",))
-def _down_call(xp, m8, wk, b2, aff, ids, n_active, ypad_out):
+@functools.partial(jax.jit, static_argnames=("ypad_out", "xw", "db"))
+def _down_call(xp, m8, wk, b2, aff, ids, n_active, ypad_out, xw, db):
     Xp, Tp, Ypad_in, c2 = xp.shape
     X, T = Xp - 2, Tp - 2
     X2, T2 = X // 2, T // 2
     co2 = wk.shape[-1]
     Y2 = (Ypad_in - 32)            # input interior incl. y rounding
     by = -(-(Y2 // 2) // YT)       # output y tiles (rounded up)
+    slots = 2 if db else 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=((X2 // XW) * by,),
+        grid=((X2 // xw) * by,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # chain buffer
             pl.BlockSpec(memory_space=pltpu.ANY),   # int8 stage mask
@@ -160,11 +197,11 @@ def _down_call(xp, m8, wk, b2, aff, ids, n_active, ypad_out):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, T, 32, c2), xp.dtype),
-            pltpu.VMEM((2, 16, T, 32, c2), jnp.int8),
-            pltpu.VMEM((XW, T2, YT, co2), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((slots, 2 * xw, T, 32, c2), xp.dtype),
+            pltpu.VMEM((slots, 2 * xw, T, 32, c2), jnp.int8),
+            pltpu.VMEM((xw, T2, YT, co2), xp.dtype),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -174,7 +211,7 @@ def _down_call(xp, m8, wk, b2, aff, ids, n_active, ypad_out):
         _down_kernel(
             ids_ref, n_ref, xp_ref, m_ref, wk_ref, b_ref, aff_ref,
             out_ref, in_bufs, m_bufs, obuf, in_sems, m_sems, out_sem,
-            T=T, by=by,
+            T=T, by=by, xw=xw, db=db,
         )
 
     return pl.pallas_call(
@@ -216,8 +253,11 @@ def down_padded_to_padded(
         ]
     )
     ypad_out = y_out + (-y_out) % 16 + 32
-    ids, n_active = active_tiles_xy(new_occ_xy, XW, YT)
+    c2 = xpad.shape[-1]
+    T = xpad.shape[1] - 2
+    xw, db = down_plan(c2, 2 * co, T)
+    ids, n_active = active_tiles_xy(new_occ_xy, xw, YT)
     return _down_call(
         xpad.astype(compute_dtype), mask8, wk, b2, aff, ids, n_active,
-        ypad_out,
+        ypad_out, xw, db,
     )

@@ -163,7 +163,10 @@ def _extract_kernel(
         )                                        # [128, 1] f32
         rank_lo = pref
         rank_hi = pref + bit_lo
-        o = jax.lax.broadcasted_iota(f32, (BLOCK_CELLS, BLOCK_ROWS), 0)
+        # int32 iota + cast: Mosaic's on-chip tpu.iota must be integer.
+        o = jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_CELLS, BLOCK_ROWS), 0
+        ).astype(f32)
         oh_lo = jnp.where(
             (o == rank_lo[:, 0][None, :]) & (bit_lo[:, 0][None, :] > 0),
             1.0, 0.0,
@@ -178,8 +181,8 @@ def _extract_kernel(
         # buffers are uninitialised outside active tiles) and
         # 0 * NaN = NaN in the dot.
         r_iota = jax.lax.broadcasted_iota(
-            jnp.bfloat16, (BLOCK_ROWS, 1), 0
-        )
+            jnp.int32, (BLOCK_ROWS, 1), 0
+        ).astype(jnp.bfloat16)
         ones = jnp.ones((BLOCK_ROWS, 1), jnp.bfloat16)
         zeros = jnp.zeros((BLOCK_ROWS, 1), jnp.bfloat16)
         blk_lo = jnp.concatenate(

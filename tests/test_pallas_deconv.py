@@ -124,3 +124,41 @@ def test_up_preamble_partial_tiles():
         np.asarray(got.astype(jnp.float32)) - np.asarray(exp.astype(jnp.float32))
     )
     assert d.max() < 0.05, d.max()
+
+
+def test_up_preamble_reduced_tile_plan(monkeypatch):
+    """xw=4 (VMEM-ladder fallback) matches the default xw=8 plan."""
+    import pasco_tpu.ops.pallas_deconv as pdc
+
+    r = np.random.RandomState(3)
+    X2, T2, Y2, ci, co = 8, 4, 32, 8, 8
+    parent = jnp.asarray(r.randn(X2, T2, Y2, 2 * ci), jnp.bfloat16)
+    skip = jnp.asarray(
+        r.randn(2 * X2, 2 * T2, 2 * Y2, 2 * co), jnp.bfloat16
+    )
+    occ = jnp.ones((2 * X2, 2 * Y2), bool)
+    gmin = jnp.zeros((3,), jnp.int32)
+    wd = jnp.asarray(r.randn(8, ci, co) * 0.1, jnp.float32)
+    bd = jnp.asarray(r.randn(co) * 0.1, jnp.float32)
+    a1 = jnp.asarray(r.rand(2 * co) + 0.5, jnp.float32)
+    c1 = jnp.asarray(r.randn(2 * co) * 0.1, jnp.float32)
+    a2 = jnp.asarray(r.rand(2 * (co + 3)) + 0.5, jnp.float32)
+    c2 = jnp.asarray(r.randn(2 * (co + 3)) * 0.1, jnp.float32)
+    wr = jnp.asarray(r.randn(co + 3, co) * 0.1, jnp.float32)
+    br = jnp.asarray(r.randn(co) * 0.1, jnp.float32)
+
+    def run():
+        jax.clear_caches()   # _up_call derives xw inside its jit trace
+        with pltpu.force_tpu_interpret_mode():
+            return jax.jit(
+                lambda: up_preamble_padded(
+                    parent, skip, occ, gmin, 1, wd, bd, (a1, c1),
+                    (a2, c2), wr, br,
+                )
+            )()
+
+    base = np.asarray(run().astype(jnp.float32))
+    monkeypatch.setattr(pdc, "up_plan", lambda *a: 4)
+    small = np.asarray(run().astype(jnp.float32))
+    itr = np.s_[1 : 1 + 2 * X2, 1 : 1 + 2 * T2, 16 : 16 + 2 * Y2]
+    assert np.abs(base[itr] - small[itr]).max() < 1e-5

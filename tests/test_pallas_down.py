@@ -100,3 +100,38 @@ def test_down_padded_partial_tiles():
         np.asarray(got.astype(jnp.float32)) - np.asarray(exp.astype(jnp.float32))
     )
     assert d.max() < 0.05, d.max()
+
+
+def test_down_padded_reduced_tile_plan(monkeypatch):
+    """The VMEM-ladder fallback (xw=4, single-buffered) computes the
+    same output as the default (8, double-buffered) plan."""
+    import pasco_tpu.ops.pallas_down as pd
+
+    r = np.random.RandomState(2)
+    X, Z, Y = 32, 8, 64
+    T = Z // 2
+    ci, co = 8, 16
+    x = jnp.asarray(r.randn(X, T, Y, 2 * ci), jnp.bfloat16)
+    mask = jnp.asarray(r.rand(X, Z, Y) < 0.5)
+    wd = jnp.asarray(r.randn(8, ci, co) * 0.1, jnp.float32)
+    bd = jnp.asarray(r.randn(co) * 0.1, jnp.float32)
+    a1 = jnp.asarray(r.rand(2 * co) + 0.5, jnp.float32)
+    c1 = jnp.asarray(r.randn(2 * co) * 0.1, jnp.float32)
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+    xpad = pad_stage(mask_mul_z2(x, lo, hi))
+    m8 = stage_mask8(mask, 2 * ci)
+    occ_xy = jnp.any(maxpool2_mask(mask), axis=1)
+
+    def run():
+        with pltpu.force_tpu_interpret_mode():
+            return jax.jit(
+                lambda: down_padded_to_padded(
+                    xpad, m8, occ_xy, wd, bd, (a1, c1), (a1, c1), Y // 2
+                )
+            )()
+
+    base = np.asarray(run().astype(jnp.float32))
+    monkeypatch.setattr(pd, "down_plan", lambda *a: (4, False))
+    small = np.asarray(run().astype(jnp.float32))
+    itr = np.s_[1 : 1 + X // 2, 1 : 1 + T // 2, 16 : 16 + Y // 2]
+    assert np.abs(base[itr] - small[itr]).max() < 1e-5
