@@ -19,6 +19,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_SCANS (default 6), BENCH_ITERS per scan (default 4),
 BENCH_BATCH>1 switches to the vmapped batched-throughput measurement,
 BENCH_FIXED_BOX=1 disables adaptive dispatch (old protocol).
+
+``python bench.py --compile-only`` is the ON-CHIP COMPILE GATE: it
+lowers + compiles every dispatch candidate (and, with BENCH_INFERS=3,
+the ensemble config) on the real TPU without running them, so a kernel
+that only ever met the Pallas interpreter cannot ship again (the round-2
+failure mode: Mosaic rejected a kernel the interpreter accepted).  Run it
+before every snapshot; it is warm-cache fast (~a minute) once the
+programs are in the persistent compile cache.
 """
 
 from __future__ import annotations
@@ -53,6 +61,70 @@ def _reduced(forward):
         return sum(leaves)
 
     return fn
+
+
+def compile_only():
+    """On-chip compile gate: lower + compile every dispatch candidate for
+    n_infers in {1, 3} (the reference's two headline configs) without
+    executing.  Exits nonzero on the first Mosaic/XLA rejection."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", _jax_cache_dir()),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from __graft_entry__ import _synthetic_model_input
+    from pasco_tpu.core.config import PaSCoConfig
+    from pasco_tpu.data.semantic_kitti.params import CLASS_FREQUENCIES
+    from pasco_tpu.inference.dispatch import AdaptiveForward
+    from pasco_tpu.models.unet import build_net
+    from pasco_tpu.training.step import labelweights_for
+
+    infers = [
+        int(v)
+        for v in os.environ.get("BENCH_COMPILE_INFERS", "1,3").split(",")
+    ]
+    n_done = 0
+    for ni in infers:
+        cfg = PaSCoConfig()
+        if ni != 1:
+            cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, n_infers=ni)
+            )
+        lw = labelweights_for(cfg, CLASS_FREQUENCIES)
+        inp, _, _ = _synthetic_model_input(cfg, n_points=2048)
+        net0 = build_net(cfg)
+        variables = jax.eval_shape(
+            lambda i: net0.init(
+                {"params": jax.random.PRNGKey(0)}, i, lw, train=False
+            ),
+            inp,
+        )
+        adaptive = AdaptiveForward(cfg, lw)
+        for cand in adaptive.cands:
+            t0 = time.perf_counter()
+            fn = adaptive.fn_for(cand)
+            fn.lower(variables, inp).compile()
+            n_done += 1
+            print(
+                f"compiled n_infers={ni} box={cand} "
+                f"in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+    print(
+        json.dumps(
+            {
+                "metric": "compile_gate_programs",
+                "value": n_done,
+                "unit": "programs",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
 
 
 def main():
@@ -230,4 +302,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--compile-only" in sys.argv:
+        compile_only()
+    else:
+        main()

@@ -155,7 +155,8 @@ class ModelConfig:
     # (ops/pallas_conv.py) on TPU backends — at inference through the
     # fused residual chain, in training through the custom-VJP wrapper
     # (backward data pass = the same kernel with flipped taps); "off"
-    # always uses the XLA formulation.
+    # always uses the XLA formulation; "force" engages the kernels on any
+    # backend (the CPU equivalence test runs them in interpret mode).
     pallas_conv: str = "auto"
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
 

@@ -996,9 +996,12 @@ class DensePaSCoNet(nn.Module):
         # uses the custom-VJP wrapper (ops/pallas_conv.py:
         # packed_conv_trainable); the fused *chain* (BN-affine prologue)
         # remains inference-only — its gates below include ``not train``.
-        pallas = (
-            zp and m.pallas_conv != "off"
-            and jax.default_backend() == "tpu"
+        # "force" engages the kernels regardless of backend — used by the
+        # whole-pipeline pallas-on/off equivalence test, which runs them
+        # on CPU under pltpu.force_tpu_interpret_mode().
+        pallas = zp and (
+            m.pallas_conv == "force"
+            or (m.pallas_conv != "off" and jax.default_backend() == "tpu")
         )
 
         # ---- encoder ----------------------------------------------------

@@ -208,30 +208,41 @@ def up_plan(ci2: int, co2: int, T: int) -> int:
     Mosaic's value-stack intermediates (the unfolded child tile, its f32
     BN/coords/resize temps) fit scoped VMEM — same budget discipline as
     ``pallas_conv.conv_plan`` / ``pallas_down.down_plan``."""
-    from pasco_tpu.ops.pallas_conv import _SCOPED_VMEM_BUDGET
+    from pasco_tpu.ops.pallas_conv import _SCOPED_VMEM_BUDGET, _pad128
 
+    # Lane dims padded to the 128-lane VMEM tile, like conv_plan /
+    # down_plan (ADVICE r2).
     for xw in (8, 4, 2):
-        ob = xw * T * YT * co2 * 2          # one bf16 output-tile volume
-        pslot = (xw // 2) * (T // 2) * (YT // 2) * ci2 * 2
-        wkb = ci2 * 8 * co2 * 2
+        ob = xw * T * YT * _pad128(co2) * 2  # one bf16 output-tile volume
+        pslot = (xw // 2) * (T // 2) * (YT // 2) * _pad128(ci2) * 2
+        wkb = ci2 * _pad128(8 * co2) * 2
         total = 2 * pslot + 2 * ob + wkb + 9 * ob + 2**20
         if total <= _SCOPED_VMEM_BUDGET:
             return xw
+    import warnings
+
+    warnings.warn(
+        f"up_plan: no xw fits scoped VMEM for (ci2={ci2}, co2={co2}, "
+        f"T={T}); falling back to xw=2 which may exceed the budget",
+        stacklevel=2,
+    )
     return 2
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "ypad"))
+@functools.partial(jax.jit, static_argnames=("scale", "ypad", "xw"))
 def _up_call(
     parent, skip, wk, bd16, aff1, aff2, wr2, br2, ids, n_active, gmin,
-    scale, ypad,
+    scale, ypad, xw,
 ):
+    # ``xw`` is passed explicitly by up_preamble_padded (which builds the
+    # tile ids with the same plan) so the grid and the ids can never
+    # silently desynchronise (ADVICE r2).
     X2, T2, Y2, ci2 = parent.shape
     X, T = 2 * X2, 2 * T2
     co2 = wr2.shape[-1]
     co = co2 // 2
     y32 = skip.shape[2]
     by = y32 // YT
-    xw = up_plan(ci2, co2, T)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -289,7 +300,8 @@ def up_preamble_padded(
 ) -> jnp.ndarray:
     """Padded chain input [X+2, T+2, Y + 2*16 (+y rounding), 2Co].
 
-    Requires Y % 32 == 0 and X % 8 == 0 (see module docstring).
+    Requires Y % 32 == 0 and X % xw == 0 (xw from :func:`up_plan`; see
+    module docstring).
     """
     from pasco_tpu.ops.dense_ops import blockdiag2_weight
     from pasco_tpu.ops.pallas_conv import active_tiles_xy
@@ -317,5 +329,5 @@ def up_preamble_padded(
     return _up_call(
         parent_masked.astype(compute_dtype), skip.astype(compute_dtype),
         wk, bd16, a1, a2, wr2, br2, ids, n_active,
-        box_min.astype(jnp.int32), scale, ypad,
+        box_min.astype(jnp.int32), scale, ypad, xw,
     )

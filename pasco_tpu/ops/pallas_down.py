@@ -49,23 +49,38 @@ def down_plan(c2: int, co2: int, T: int) -> Tuple[int, bool]:
     on-chip, so the ladder trades DMA/compute overlap for footprint
     exactly like ``pallas_conv.conv_plan``.
     """
-    from pasco_tpu.ops.pallas_conv import _SCOPED_VMEM_BUDGET
+    from pasco_tpu.ops.pallas_conv import _SCOPED_VMEM_BUDGET, _pad128
 
+    # Mosaic lane-pads every VMEM buffer to 128 lanes, so the lane dims
+    # (c2, co2, the grouped weight's 2co) must be padded in the estimate
+    # too — conv_plan does the same (ADVICE r2: raw lane dims undercount
+    # by up to 128/c2x for narrow-channel stages).
+    c2x, co2x = _pad128(c2), _pad128(co2)
     T2 = T // 2
     for xw, db in (
         (8, True), (8, False), (4, True), (4, False), (2, False)
     ):
-        tile_in = (2 * xw) * T * 32 * c2 * 2          # one bf16 in-slot
+        tile_in = (2 * xw) * T * 32 * c2x * 2         # one bf16 in-slot
         inb = (2 if db else 1) * tile_in
         mb = inb // 2                                  # int8 mask mirror
-        outb = xw * T2 * YT * co2 * 2
-        acc = xw * T2 * YT * co2 * 4                   # f32 accumulator
+        outb = xw * T2 * YT * co2x * 2
+        acc = xw * T2 * YT * co2x * 4                  # f32 accumulator
                       # value stack: masked tile + grouped copies + temps
         interm = 3 * tile_in + 2 * outb + acc
-        wkb = 8 * c2 * co2 * 2
+        wkb = 8 * c2 * _pad128(co2) * 2
         total = inb + mb + interm + outb + wkb + 2**20
         if total <= _SCOPED_VMEM_BUDGET:
             return xw, db
+    # The ladder has no budget-checked rung left: surface it instead of
+    # silently compiling an over-budget (2, False) config (ADVICE r2).
+    import warnings
+
+    warnings.warn(
+        f"down_plan: no (xw, db) config fits scoped VMEM for "
+        f"(c2={c2}, co2={co2}, T={T}); falling back to (2, False) which "
+        f"may exceed the budget",
+        stacklevel=2,
+    )
     return 2, False
 
 
@@ -100,9 +115,9 @@ def _down_kernel(
     b_ref,                    # VMEM [1, 2co] f32
     aff_ref,                  # VMEM [4, 2co] f32: a1, c1, a2, c2
     out_ref,                  # HBM [X2+2, T2+2, Ypad_out, 2co]
-    in_bufs,                  # VMEM [2, 16, T, 32, c2]
-    m_bufs,                   # VMEM [2, 16, T, 32, c2] int8
-    obuf,                     # VMEM [XW, T2, YT, 2co]
+    in_bufs,                  # VMEM [slots, 2*xw, T, 32, c2]
+    m_bufs,                   # VMEM [slots, 2*xw, T, 32, c2] int8
+    obuf,                     # VMEM [xw, T2, YT, 2co]
     in_sems, m_sems, out_sem,
     *,
     T: int, by: int, xw: int, db: bool,

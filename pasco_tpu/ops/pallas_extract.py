@@ -154,8 +154,10 @@ def _extract_kernel(
         blk = in_buf[slot]                       # [128, L]
         e = e2 // 2
         f32 = jnp.float32
-        bit_lo = (blk[:, e2 : e2 + 1] > 0).astype(f32)       # [128, 1]
-        bit_hi = (blk[:, e2 + 1 : e2 + 2] > 0).astype(f32)
+        # bf16 comparisons are unsupported on this target ("Target does
+        # not support this comparison") — compare in f32.
+        bit_lo = (blk[:, e2 : e2 + 1].astype(f32) > 0).astype(f32)  # [128, 1]
+        bit_hi = (blk[:, e2 + 1 : e2 + 2].astype(f32) > 0).astype(f32)
         row_n = (bit_lo + bit_hi).astype(jnp.bfloat16)
         # exclusive per-row prefix over (lo+hi): one strict-LT dot.
         pref = jnp.dot(
@@ -203,12 +205,17 @@ def _extract_kernel(
             oh_lo, blk_lo, preferred_element_type=f32
         ) + jnp.dot(oh_hi, blk_hi, preferred_element_type=f32)
         # output lanes keep t's order: [E vals | local row | is_lo | is_hi]
-        out_buf[...] = jnp.pad(
-            t, ((0, 0), (0, lout - (e + 3)))
-        ).astype(out_buf.dtype)
+        # The output ref is [cap16, 16, lout] (leading dim untiled) so the
+        # dynamic window offset needs no tile-divisibility proof; r16 is
+        # 16-aligned by construction (extract_plan), so r16/16 is exact.
+        out_buf[...] = (
+            jnp.pad(t, ((0, 0), (0, lout - (e + 3))))
+            .astype(out_buf.dtype)
+            .reshape(BLOCK_CELLS // 16, 16, lout)
+        )
         copy = pltpu.make_async_copy(
             out_buf,
-            out_ref.at[pl.ds(r16_ref[g], BLOCK_CELLS)],
+            out_ref.at[pl.ds(r16_ref[g] // 16, BLOCK_CELLS // 16)],
             out_sem,
         )
         copy.start()
@@ -221,7 +228,9 @@ def _extract_call(payload, block_ids, r16, n_active, e2, capacity):
     nblk = block_ids.shape[0]
     e = e2 // 2
     lout = _pad128(e + 3)
-    cap_pad = capacity + BLOCK_CELLS
+    # 16-row groups (output written as [cap16, 16, lout]; see kernel).
+    cap_pad = -(-(capacity + BLOCK_CELLS) // _PAD16) * _PAD16
+    cap16 = cap_pad // _PAD16
     lt = jnp.tril(jnp.ones((BLOCK_ROWS, BLOCK_ROWS), jnp.bfloat16), -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -235,7 +244,7 @@ def _extract_call(payload, block_ids, r16, n_active, e2, capacity):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, BLOCK_ROWS, L), payload.dtype),
-            pltpu.VMEM((BLOCK_CELLS, lout), payload.dtype),
+            pltpu.VMEM((BLOCK_CELLS // 16, 16, lout), payload.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -251,15 +260,16 @@ def _extract_call(payload, block_ids, r16, n_active, e2, capacity):
 
     # Rows the active blocks never write stay zero: indicator lane 0 ->
     # invalid, exactly like the one-hot pad rows.
-    out0 = jnp.zeros((cap_pad, lout), payload.dtype)
-    return pl.pallas_call(
+    out0 = jnp.zeros((cap16, _PAD16, lout), payload.dtype)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # operand order: ids, r16, n_active, payload, lt, out0
         input_output_aliases={5: 0},
-        out_shape=jax.ShapeDtypeStruct((cap_pad, lout), payload.dtype),
+        out_shape=jax.ShapeDtypeStruct((cap16, _PAD16, lout), payload.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(block_ids, r16, n_active, payload, lt, out0)
+    return out.reshape(cap_pad, lout)
 
 
 def stream_extract_z2(
@@ -280,12 +290,23 @@ def stream_extract_z2(
     block_ids, r16, n_active, blk_of_row = extract_plan(keep, capacity)
     lo = keep[:, 0::2].reshape(n_rows, 1)
     hi = keep[:, 1::2].reshape(n_rows, 1)
+    # Mosaic requires every memref slice's lane dim to be a multiple of
+    # the 128-lane tile (HBM DMA slices AND the [2, 128, L] VMEM scratch's
+    # slot slice), so the payload+keep lanes are zero-padded to 128 here.
+    # The padded bytes are physically present in the (8, 128)-tiled layout
+    # either way, so the DMA moves no extra HBM traffic.
+    lane_pad = _pad128(e2 + 2) - (e2 + 2)
     pay = jnp.concatenate(
         [
             payload.reshape(n_rows, e2),
             lo.astype(payload.dtype),
             hi.astype(payload.dtype),
-        ],
+        ]
+        + (
+            [jnp.zeros((n_rows, lane_pad), payload.dtype)]
+            if lane_pad
+            else []
+        ),
         axis=-1,
     )
     nblk = block_ids.shape[0]

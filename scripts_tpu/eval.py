@@ -26,6 +26,13 @@ def main():
     p.add_argument("--split", default="val")
     p.add_argument("--limit_batches", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--config",
+        default="flagship",
+        choices=("flagship", "flagship_narrow", "tiny"),
+        help="model/scene config preset; non-flagship presets exist for "
+        "smoke tests (tests/test_eval_script.py) and CPU debugging",
+    )
     args = p.parse_args()
 
     import jax
@@ -46,12 +53,19 @@ def main():
     from pasco_tpu.training import step as tstep
     from pasco_tpu.training.checkpoint import CheckpointManager
 
-    base = PaSCoConfig()
+    if args.config == "flagship":
+        base = PaSCoConfig()
+    elif args.config == "flagship_narrow":
+        from pasco_tpu.core.config import flagship_narrow_config
+
+        base = flagship_narrow_config(n_infers=args.n_infers)
+    else:
+        from pasco_tpu.core.config import tiny_config
+
+        base = tiny_config(n_infers=args.n_infers)
     cfg = base.replace(
         model=dataclasses.replace(base.model, n_infers=args.n_infers)
     )
-    net = build_net(cfg)
-    lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
 
     ds = KittiDataset(
         root=args.dataset_root,
@@ -64,6 +78,16 @@ def main():
     )
 
     first = collate(ds[0], cfg)
+    feat_dim = first.point_feats.shape[-1]
+    if feat_dim != cfg.model.in_channels and args.config != "flagship":
+        # Smoke presets adapt to whatever features the on-disk layout
+        # provides (raw velodyne = 8, WaffleIron = 283); the flagship
+        # config must match its checkpoint instead.
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, in_channels=feat_dim)
+        )
+    net = build_net(cfg)
+    lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
     state, _ = tstep.create_train_state(
         net, cfg, tstep.scene_to_model_input(first), lw, jax.random.PRNGKey(0)
     )
