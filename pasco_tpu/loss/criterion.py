@@ -178,32 +178,41 @@ def criterion_all_subnets(
 ) -> Dict[str, jnp.ndarray]:
     """Average the per-subnet criterion over subnets and aux levels
     (reference ``net_panoptic_sparse.py:380-478`` + aux in
-    ``criterion_sparse.py:387-405``)."""
+    ``criterion_sparse.py:387-405``).
+
+    The (level, subnet) grid is rolled into ``vmap`` (subnets) under
+    ``lax.map`` (levels) so the matcher + losses trace and compile ONCE
+    instead of ``(1 + n_aux) * n_infers`` times (10 x 2 for the flagship:
+    the unrolled form dominated whole-train-step compile time — the
+    round-2 multichip dryrun timed out compiling it)."""
     S = subnet_min.shape[0]
     levels = [(predictor_out.query_logits, predictor_out.voxel_logits)]
     if include_aux:
         levels += list(predictor_out.aux)
+    L = len(levels)
+    q_all = jnp.stack([q for q, _ in levels])  # [L, S, Q, C+1]
+    v_all = jnp.stack([v for _, v in levels])  # [L, S, N, Q]
+
+    per_subnet = jax.vmap(
+        lambda q, v, grid, sem, tgt, smin: criterion_losses(
+            q, v, grid, sem, tgt, smin,
+            class_weight, compl_weights, cfg, n_classes,
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0),
+    )
+
+    def level_fn(qv):
+        q_l, v_l = qv
+        return per_subnet(
+            q_l, v_l, panop_grid1, sem_logits_pruned,
+            targets_per_subnet, subnet_min,
+        )
+
+    stacked = jax.lax.map(level_fn, (q_all, v_all))  # dict of [L, S]
 
     total: Dict[str, jnp.ndarray] = {}
-    for li, (q_l, v_l) in enumerate(levels):
-        for s in range(S):
-            tgt = jax.tree_util.tree_map(lambda x: x[s], targets_per_subnet)
-            grid_s = jax.tree_util.tree_map(
-                lambda x: x[s] if hasattr(x, "ndim") else x, panop_grid1
-            )
-            losses = criterion_losses(
-                q_l[s],
-                v_l[s],
-                grid_s,
-                sem_logits_pruned[s],
-                tgt,
-                subnet_min[s],
-                class_weight,
-                compl_weights,
-                cfg,
-                n_classes,
-            )
-            suffix = "" if li == 0 else f"_aux{li - 1}"
-            for k, v in losses.items():
-                total[k + suffix] = total.get(k + suffix, 0.0) + v / S
+    for li in range(L):
+        suffix = "" if li == 0 else f"_aux{li - 1}"
+        for k, v in stacked.items():
+            total[k + suffix] = jnp.sum(v[li], axis=0) / S
     return total
