@@ -63,6 +63,16 @@ def main():
         from pasco_tpu.core.config import tiny_config
 
         base = tiny_config(n_infers=args.n_infers)
+    if args.config != "flagship":
+        # On-disk SemanticKITTI labels live in the canonical
+        # (256, 256, 32) frame (reference ``kitti_dataset.py:86-89``); the
+        # smoke presets' synthetic ``scene_size`` would mis-frame the
+        # ensembling warp and the Evaluator's canonical comparison.  The
+        # working box (``box_candidates``) stays small — scans are pruned
+        # to it, exactly like the flagship prunes to its union box.
+        base = base.replace(
+            scene=dataclasses.replace(base.scene, scene_size=(256, 256, 32))
+        )
     cfg = base.replace(
         model=dataclasses.replace(base.model, n_infers=args.n_infers)
     )
