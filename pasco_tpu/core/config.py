@@ -134,6 +134,13 @@ class ModelConfig:
     dense3d_dropout: float = 0.0
     drop_path_rate: float = 0.0
     use_se_layer: bool = False
+    # Residual blocks per encoder/decoder stage.  None = the reference rule
+    # (encoder: 0 if heavy_decoder else 3, ``encoder_v2.py:116-172``;
+    # decoder: 7 if heavy_decoder else 3, ``decoder_v3.py:125``).  An
+    # explicit value overrides both — used by the multi-chip dry-run
+    # config to shrink compile/step cost on the virtual CPU mesh while
+    # keeping every layer type and the real sharding.
+    res_blocks: Optional[int] = None
     # Hot-path precision: features and conv taps in bfloat16 (halves the
     # gather-dominated HBM traffic, doubles MXU rate); accumulation,
     # normalisation statistics, logits, and losses stay float32.
@@ -225,6 +232,11 @@ class LossConfig:
     cost_class: float = 1.0
     use_voxel_query_loss: bool = True
     alpha: float = 0.1                # focal loss alpha
+    # Apply the criterion to the transformer's aux (intermediate-round)
+    # predictions as well as the final ones (reference
+    # ``criterion_sparse.py:387-405``).  The dry-run config turns this off
+    # to cut the train-step graph on the virtual CPU mesh.
+    include_aux: bool = True
 
 
 @dataclass(frozen=True)
@@ -315,6 +327,53 @@ def flagship_narrow_config(n_infers: int = 2) -> PaSCoConfig:
             bottleneck=256, ups_s4=2048,
             dec_s4=1024, dec_s2=2048, dec_s1=8192,
             panop_s4=512, panop_s2=1024, panop_s1=2048,
+        ),
+    )
+
+
+def dryrun_config(n_infers: int = 2) -> PaSCoConfig:
+    """Multi-chip dry-run preset: real flagship LAYER WIDTHS (f=64, the
+    384-dim transformer, 100 queries) and the real per-layer sharding, with
+    the graph shrunk to fit a cold compile + one 8-device step in the
+    driver's budget on a single-core CPU host (round-2 regression: the
+    flagship-narrow dry-run cold-compiled >9.5 min).
+
+    Cuts vs ``flagship_narrow_config`` (all sharding-preserving): one
+    residual block per stage instead of 3, no aux-level criterion, a
+    32x32x8 working box (execution of the 8-device step is serialised on
+    the single host core, so step FLOPs — box volume x channel widths —
+    set the wall-clock; the channel widths are the realism that matters
+    for sharding, the box is not), and capacities to match.  Every layer
+    type, both BN psum folds, the vmapped subnet axis, and the full
+    matched criterion still run at real channel/query widths.
+    """
+    base = flagship_narrow_config(n_infers=n_infers)
+    return base.replace(
+        # float32 compute: the dry run executes on a virtual CPU mesh, and
+        # XLA:CPU emulates bfloat16 with per-op f32 converts — measured as
+        # the difference between a >330 s and a ~1 min 8-device step on the
+        # 1-core driver host.  Sharding semantics are dtype-independent.
+        # f=32 halves every conv width (4x FLOPs) — with f=64 the 8-device
+        # step alone executed ~5 min serialised on the single driver core.
+        # The transformer keeps its real 384-dim/100-query shape and the
+        # MIMO subnet axis stays vmapped, so every sharding rule and layer
+        # type is exercised unchanged.
+        model=dataclasses.replace(
+            base.model, f=32, res_blocks=1, compute_dtype="float32"
+        ),
+        loss=dataclasses.replace(base.loss, include_aux=False),
+        scene=SceneConfig(
+            scene_size=(16, 16, 8),
+            box_extent=(32, 32, 8),
+            box_candidates=((32, 32, 8),),
+            train_box_extent=None,
+        ),
+        capacity=CapacityConfig(
+            num_points=1024,
+            enc_s1=1024, enc_s2=512, enc_s4=256, enc_s8=128,
+            bottleneck=128, ups_s4=512,
+            dec_s4=256, dec_s2=512, dec_s1=2048,
+            panop_s4=128, panop_s2=256, panop_s1=512,
         ),
     )
 

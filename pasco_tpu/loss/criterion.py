@@ -150,7 +150,12 @@ def criterion_losses(
 
     sem_lbl = _gather_dense(targets.semantic_dense, rel, 255)
     ssc_valid = grid.mask & (sem_lbl != 255)
-    ssc_ce = weighted_cross_entropy(ssc_logit, sem_lbl, ssc_valid, compl_weights)
+    # CE_ssc_loss (reference ``losses.py:10-23``) runs with ignore_index=0:
+    # the empty class is excluded from the CE mean (the lovasz below gets
+    # the same exclusion via ``ignore_classes=(0,)``).
+    ssc_ce = weighted_cross_entropy(
+        ssc_logit, sem_lbl, ssc_valid & (sem_lbl != 0), compl_weights
+    )
     ssc_lovasz = lovasz_softmax(ssc_logit, sem_lbl, ssc_valid, ignore_classes=(0,))
     ssc_ce = jnp.where(any_kept, ssc_ce, 0.0)
     ssc_lovasz = jnp.where(any_kept, ssc_lovasz, 0.0)

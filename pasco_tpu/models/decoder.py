@@ -231,7 +231,11 @@ class GenerativeDecoder(nn.Module):
         f = cfg.f_maps
         dec_ch = f[::-1]                      # (4f, 4f, 2f, f) reversed maps
         skips = enc_feats[::-1]               # [s4, s2, s1]
-        n_res = 7 if cfg.heavy_decoder else 3
+        n_res = (
+            cfg.res_blocks
+            if cfg.res_blocks is not None
+            else (7 if cfg.heavy_decoder else 3)
+        )
 
         xs: Dict[int, SparseGrid] = {}
         sem_at: Dict[int, jnp.ndarray] = {}

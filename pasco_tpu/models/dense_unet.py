@@ -1006,7 +1006,11 @@ class DensePaSCoNet(nn.Module):
 
         # ---- encoder ----------------------------------------------------
         fm = m.f_maps
-        n_res = 0 if m.heavy_decoder else 3
+        n_res = (
+            m.res_blocks
+            if m.res_blocks is not None
+            else (0 if m.heavy_decoder else 3)
+        )
         # enc_in's output mask is skippable when the packed s1 res blocks
         # (which mask internally) re-mask at their outputs.
         x = DenseConv(
@@ -1069,7 +1073,11 @@ class DensePaSCoNet(nn.Module):
         dense_feats_pad: Dict[int, Optional[jnp.ndarray]] = {}
 
         dense_top: Dict[int, jnp.ndarray] = {}
-        dec_n_res = 7 if m.heavy_decoder else 3
+        dec_n_res = (
+            m.res_blocks
+            if m.res_blocks is not None
+            else (7 if m.heavy_decoder else 3)
+        )
         for i, scale in enumerate((4, 2, 1)):
             ch = dec_ch[i + 1]
             x, sem, top_class, top_prob, msk, x_padbuf = DenseDecoderStage(

@@ -49,9 +49,10 @@ class Encoder(nn.Module):
 
         x = SparseConv(f[0], 1, compute_dtype=cd, name="in_conv")(grid, box)
 
+        n_res = cfg.res_blocks if cfg.res_blocks is not None else 3
         if not heavy:
             rb1 = build_rulebook(x.coords, x.mask, box, x.stride, 3)
-            for i in range(3):
+            for i in range(n_res):
                 x = ResidualBlock(
                     f[0], axis_name=self.axis_name, compute_dtype=cd,
                     name=f"s1_res{i}",
@@ -75,7 +76,7 @@ class Encoder(nn.Module):
                 )
             else:
                 rb = build_rulebook(x.coords, x.mask, box, x.stride, 3)
-                for i in range(3):
+                for i in range(n_res):
                     x = ResidualBlock(
                         out_ch, axis_name=self.axis_name, compute_dtype=cd,
                         name=f"{name}_res{i}",

@@ -145,7 +145,7 @@ def compute_losses(
             labelweights[1],
             lc,
             cfg.model.n_classes,
-            include_aux=True,
+            include_aux=lc.include_aux,
         )
         for k, v in crit.items():
             logs[k] = v

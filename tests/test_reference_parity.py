@@ -31,23 +31,122 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _build_me_stub():
+    """A faithful test-local MinkowskiEngine stand-in.
+
+    Covers exactly the surface the reference's ME-free math path touches
+    (``transformer_predictor_v2.py``, ``criterion_sparse.py``,
+    ``helper.py:semantic_inference_v2``): a ``SparseTensor`` feature/
+    coordinate carrier with ``.F/.C/.shape/features_at/coordinates_at/
+    dense``, ``utils.batched_coordinates``, ``MinkowskiMaxPooling``
+    (kernel == stride, the only mode used) and ``MinkowskiSigmoid``.
+    Coordinate semantics follow ME v0.5: ``dense(shape, min_coordinate)``
+    places features at ``(C - min_coordinate) // tensor_stride``; stride-s
+    max pooling emits the unique ``floor(C / s) * s`` cells.
+    """
+    stub = types.ModuleType("MinkowskiEngine")
+
+    class SparseTensor:
+        def __init__(self, features=None, coordinates=None,
+                     tensor_stride=1, **kw):
+            self.F = features
+            self.C = coordinates
+            if isinstance(tensor_stride, int):
+                tensor_stride = [tensor_stride] * 3
+            self.tensor_stride = list(tensor_stride)
+
+        @property
+        def shape(self):
+            return self.F.shape
+
+        @property
+        def device(self):
+            return self.F.device
+
+        def features_at(self, i):
+            return self.F[self.C[:, 0] == i]
+
+        def coordinates_at(self, i):
+            return self.C[self.C[:, 0] == i][:, 1:]
+
+        def dense(self, shape=None, min_coordinate=None):
+            stride = self.tensor_stride[0]
+            if min_coordinate is None:
+                mc = torch.zeros(3, dtype=torch.long)
+            else:
+                mc = min_coordinate.long()
+            out = torch.zeros(tuple(shape), dtype=self.F.dtype)
+            c = self.C.long()
+            rel = torch.div(c[:, 1:] - mc[None, :], stride,
+                            rounding_mode="floor")
+            out[c[:, 0], :, rel[:, 0], rel[:, 1], rel[:, 2]] = self.F
+            return out, None, None
+
+    class _Module(torch.nn.Module):
+        def __init__(self, *a, **kw):
+            super().__init__()
+
+    class MinkowskiSigmoid(_Module):
+        def forward(self, st):
+            return SparseTensor(torch.sigmoid(st.F), st.C,
+                                tensor_stride=st.tensor_stride)
+
+    class MinkowskiMaxPooling(torch.nn.Module):
+        def __init__(self, kernel_size=1, stride=1, dimension=3):
+            super().__init__()
+            assert kernel_size == stride, "stub supports kernel == stride"
+            self.stride = stride
+
+        def forward(self, st):
+            s = self.stride
+            c = st.C.clone().long()
+            c[:, 1:] = torch.div(c[:, 1:], s, rounding_mode="floor") * s
+            uniq, inv = torch.unique(c, dim=0, return_inverse=True)
+            f = torch.full(
+                (uniq.shape[0], st.F.shape[1]),
+                float("-inf"), dtype=st.F.dtype,
+            )
+            f = f.scatter_reduce(
+                0, inv[:, None].expand(-1, st.F.shape[1]), st.F,
+                reduce="amax", include_self=True,
+            )
+            return SparseTensor(f, uniq.int(), tensor_stride=[s] * 3)
+
+    def batched_coordinates(coord_list, **kw):
+        rows = []
+        for b, c in enumerate(coord_list):
+            c = torch.as_tensor(c).long()
+            bcol = torch.full((c.shape[0], 1), b, dtype=torch.long)
+            rows.append(torch.cat([bcol, c], dim=1))
+        return torch.cat(rows, dim=0).int()
+
+    class _MEBase:
+        pass
+
+    utils = types.ModuleType("MinkowskiEngine.utils")
+    utils.batched_coordinates = batched_coordinates
+
+    stub.SparseTensor = SparseTensor
+    stub.MinkowskiSigmoid = MinkowskiSigmoid
+    stub.MinkowskiMaxPooling = MinkowskiMaxPooling
+    stub.utils = utils
+    stub.MinkowskiModuleBase = _MEBase
+
+    def _getattr(name):
+        return _MEBase
+
+    stub.__getattr__ = _getattr
+    sys.modules["MinkowskiEngine"] = stub
+    sys.modules["MinkowskiEngine.utils"] = utils
+    return stub
+
+
 def _import_ref(modname):
-    """Import a reference module; stub MinkowskiEngine (only referenced
-    inside constructors of classes these tests never instantiate)."""
+    """Import a reference module with the MinkowskiEngine stub in place."""
     if REF not in sys.path:
         sys.path.insert(0, REF)
     if "MinkowskiEngine" not in sys.modules:
-        stub = types.ModuleType("MinkowskiEngine")
-
-        class _MEBase:
-            pass
-
-        def _getattr(name):
-            return _MEBase
-
-        stub.__getattr__ = _getattr
-        stub.MinkowskiModuleBase = _MEBase
-        sys.modules["MinkowskiEngine"] = stub
+        _build_me_stub()
     import importlib
 
     return importlib.import_module(modname)
@@ -235,29 +334,22 @@ def test_ffn_layer_matches_reference():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.slow
-def test_spcdense3dv2_matches_reference():
-    """Whole SCPNet bottleneck block, reference torch forward vs our JAX
-    forward with converted weights (eval mode, running BN stats)."""
+def _make_ref_spcdense(ch: int, seed: int = 3):
+    """Reference SPCDense3Dv2 in eval mode with randomised BN stats."""
     layers = _import_ref("pasco.models.layers")
-    import jax
-
-    from pasco_tpu.models.bottleneck import SPCDense3D
-    from pasco_tpu.training.convert_torch import convert_conv3d
-
-    ch = 16
-    torch.manual_seed(3)
+    torch.manual_seed(seed)
     ref_block = layers.SPCDense3Dv2(init_size=ch)
-    # randomise BN running stats so eval mode is non-trivial
     for m in ref_block.modules():
         if isinstance(m, torch.nn.BatchNorm3d):
             m.running_mean.copy_(torch.randn(m.num_features) * 0.1)
             m.running_var.copy_(torch.rand(m.num_features) + 0.5)
     ref_block.eval()
+    return ref_block
 
-    x = np.random.RandomState(6).randn(1, ch, 12, 12, 4).astype(np.float32)
-    with torch.no_grad():
-        ref = ref_block(torch.from_numpy(x)).numpy()
+
+def _spcdense_params(ref_block):
+    """Convert a reference SPCDense3Dv2 state dict to our SPCDense3D tree."""
+    from pasco_tpu.training.convert_torch import convert_conv3d
 
     conv_of = {
         "a1": "a_conv1", "a2": "a_conv2", "a3": "a_conv3", "a4": "a_conv4",
@@ -285,7 +377,25 @@ def test_spcdense3dv2_matches_reference():
             "mean": jnp.asarray(sd[f"{bn}.running_mean"]),
             "var": jnp.asarray(sd[f"{bn}.running_var"]),
         }
+    return params, stats
 
+
+@pytest.mark.slow
+def test_spcdense3dv2_matches_reference():
+    """Whole SCPNet bottleneck block, reference torch forward vs our JAX
+    forward with converted weights (eval mode, running BN stats)."""
+    import jax
+
+    from pasco_tpu.models.bottleneck import SPCDense3D
+
+    ch = 16
+    ref_block = _make_ref_spcdense(ch)
+
+    x = np.random.RandomState(6).randn(1, ch, 12, 12, 4).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_block(torch.from_numpy(x)).numpy()
+
+    params, stats = _spcdense_params(ref_block)
     xj = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # NCXYZ -> NXYZC
     got = jax.jit(
         lambda xx: SPCDense3D(compute_dtype=jnp.float32).apply(
@@ -294,3 +404,314 @@ def test_spcdense3dv2_matches_reference():
     )(xj)
     got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Whole-subgraph chain: bottleneck -> transformer predictor -> criterion
+# ---------------------------------------------------------------------------
+
+
+def _convert_transformer_sd(sd, S):
+    """Reference ``TransformerPredictorV2`` state dict -> our
+    ``TransformerPredictor`` param tree (mirrors the transformer section of
+    ``convert_reference_checkpoint``, ``training/convert_torch.py:285-331``)."""
+    from pasco_tpu.training.convert_torch import split_mha_in_proj
+
+    def lin(ref):
+        return {
+            "kernel": jnp.asarray(sd[f"{ref}.weight"].T),
+            "bias": jnp.asarray(sd[f"{ref}.bias"]),
+        }
+
+    def norm(ref):
+        return {
+            "scale": jnp.asarray(sd[f"{ref}.weight"]),
+            "bias": jnp.asarray(sd[f"{ref}.bias"]),
+        }
+
+    H = sd["query_feat.weight"].shape[1]
+    p = {
+        "query_feat": jnp.asarray(sd["query_feat.weight"].reshape(S, -1, H)),
+        "query_embed": jnp.asarray(sd["query_embed.weight"].reshape(S, -1, H)),
+        "decoder_norm": norm("decoder_norm"),
+        "class_embed": lin("class_embed"),
+        "mask_feat_proj": lin("mask_feat_proj"),
+        "mask_embed": {
+            f"Dense_{i}": lin(f"mask_embed.layers.{i}") for i in range(3)
+        },
+    }
+    for i in range(3):
+        p[f"input_proj_{i}"] = lin(f"input_projs.{i}")
+        for ours, kind, attn in (
+            (f"cross_{i}", "transformer_cross_attention_layers",
+             "multihead_attn"),
+            (f"self_{i}", "transformer_self_attention_layers", "self_attn"),
+        ):
+            base = f"{kind}.{i}"
+            q, k, v = split_mha_in_proj(
+                sd[f"{base}.{attn}.in_proj_weight"],
+                sd[f"{base}.{attn}.in_proj_bias"],
+            )
+            p[ours] = {
+                "q_proj": {kk: jnp.asarray(vv) for kk, vv in q.items()},
+                "k_proj": {kk: jnp.asarray(vv) for kk, vv in k.items()},
+                "v_proj": {kk: jnp.asarray(vv) for kk, vv in v.items()},
+                "out_proj": lin(f"{base}.{attn}.out_proj"),
+                "norm": norm(f"{base}.norm"),
+            }
+        ffn = f"transformer_ffn_layers.{i}"
+        p[f"ffn_{i}"] = {
+            "fc1": lin(f"{ffn}.linear1"),
+            "fc2": lin(f"{ffn}.linear2"),
+            "norm": norm(f"{ffn}.norm"),
+        }
+    return p
+
+
+@pytest.mark.slow
+def test_chained_bottleneck_transformer_criterion_matches_reference():
+    """End-to-end chain of THREE reference modules against the JAX pipeline
+    on one scene: ``SPCDense3Dv2`` (``layers.py:646-726``) ->
+    ``TransformerPredictorV2`` (``transformer_predictor_v2.py:111-218``,
+    incl. ``compute_attn_mask`` through the ME max-pool) -> ``SetCriterion``
+    (``criterion_sparse.py:241-353``, incl. the scipy Hungarian matcher and
+    ``compute_ssc_sparse_loss``).  Each side's transformer consumes its OWN
+    bottleneck output (shared numpy glue projects bottleneck features to
+    per-scale voxel features), and each side's criterion consumes its own
+    transformer logits — so logits AND final losses must agree end-to-end."""
+    import jax
+
+    tp_mod = _import_ref("pasco.models.transformer.transformer_predictor_v2")
+    crit_mod = _import_ref("pasco.loss.criterion_sparse")
+    matcher_mod = _import_ref("pasco.loss.matcher_sparse")
+
+    from pasco_tpu.core.config import LossConfig, TransformerConfig
+    from pasco_tpu.core.sparse import Box, SparseGrid
+    from pasco_tpu.loss.criterion import SubnetTargets, criterion_all_subnets
+    from pasco_tpu.models.bottleneck import SPCDense3D
+    from pasco_tpu.models.transformer import TransformerPredictor
+
+    S, Q, H, heads, FFN = 2, 12, 48, 4, 64
+    C = 8                       # classes incl. empty 0; dustbin index C
+    X, Y, Z = 48, 48, 16
+    CH = 16                     # bottleneck channels
+    CIN = {4: 24, 2: 20, 1: 16}
+    r = np.random.RandomState(11)
+
+    # ---- 1. bottleneck, both sides --------------------------------------
+    ref_block = _make_ref_spcdense(CH, seed=11)
+    x8 = r.randn(1, CH, X // 8, Y // 8, Z // 8).astype(np.float32)
+    with torch.no_grad():
+        y8_ref = ref_block(torch.from_numpy(x8)).numpy()
+    bparams, bstats = _spcdense_params(ref_block)
+    y8_jax = np.transpose(
+        np.asarray(
+            SPCDense3D(compute_dtype=jnp.float32).apply(
+                {"params": bparams, "batch_stats": bstats},
+                jnp.asarray(np.transpose(x8, (0, 2, 3, 4, 1))), False,
+            )
+        ),
+        (0, 4, 1, 2, 3),
+    )
+    np.testing.assert_allclose(y8_jax, y8_ref, rtol=5e-3, atol=5e-3)
+
+    # ---- 2. shared glue: bottleneck features -> per-scale voxel feats ----
+    coords = {}
+    for s, n_s in ((4, 160), (2, 288), (1, 512)):
+        cells = np.stack(
+            np.meshgrid(
+                np.arange(0, X, s), np.arange(0, Y, s), np.arange(0, Z, s),
+                indexing="ij",
+            ),
+            -1,
+        ).reshape(-1, 3)
+        coords[s] = np.stack(
+            [
+                cells[r.choice(len(cells), n_s, replace=False)]
+                for _ in range(S)
+            ]
+        ).astype(np.int32)                       # [S, n, 3]
+    proj = {s: (r.randn(CH, CIN[s]) * 0.5).astype(np.float32) for s in CIN}
+
+    def glue(y8):
+        out = {}
+        for s in (4, 2, 1):
+            c = coords[s]
+            base = np.moveaxis(
+                y8[0][:, c[..., 0] // 8, c[..., 1] // 8, c[..., 2] // 8],
+                0, -1,
+            )                                    # [S, n, CH]
+            out[s] = np.tanh(base) @ proj[s]
+        return out
+
+    feats_ref = glue(y8_ref)
+    feats_jax = glue(y8_jax)
+
+    # ---- 3. reference transformer ---------------------------------------
+    torch.manual_seed(13)
+    tp = tp_mod.TransformerPredictorV2(
+        in_channels=[CIN[4], CIN[2], CIN[1]], num_classes=C, hidden_dim=H,
+        num_queries=Q, nheads=heads, dim_feedforward=FFN, mask_dim=CIN[1],
+        n_infers=S, aux_loss=True,
+    ).eval()
+    with torch.no_grad():
+        # Inflate the mask/class head margins so keep decisions
+        # (sigmoid > 0.5, argmax class) sit far from their thresholds:
+        # the JAX attention streams KV in bfloat16, and borderline cells
+        # would make the discrete attn-mask/keep sets noise-sensitive.
+        tp.mask_embed.layers[-1].weight *= 4.0
+        tp.mask_embed.layers[-1].bias *= 4.0
+        tp.class_embed.weight *= 2.0
+        tp.class_embed.bias *= 2.0
+
+    def c4(cs):     # [S, n, 3] -> [S, n, 4] with zero batch column
+        z = np.zeros((cs.shape[0], cs.shape[1], 1), np.int32)
+        return np.concatenate([z, cs], axis=-1)
+
+    xs_t = {
+        s: (
+            torch.from_numpy(feats_ref[s]),
+            torch.from_numpy(c4(coords[s])),
+        )
+        for s in (4, 2, 1)
+    }
+    n1 = coords[1].shape[1]
+    sem_logits_t = (
+        torch.zeros(S, 1, C),
+        torch.from_numpy(c4(coords[1])),
+    )
+    keep_pad = torch.ones(S, n1, dtype=torch.bool)
+    min_Cs = torch.zeros(S, 3, dtype=torch.int32)
+    max_Cs = torch.tensor([[X - 1, Y - 1, Z - 1]] * S, dtype=torch.int32)
+    with torch.no_grad():
+        panop_preds = tp(xs_t, sem_logits_t, min_Cs, max_Cs, keep_pad)
+
+    # ---- 4. our transformer with converted weights ----------------------
+    tcfg = TransformerConfig(
+        hidden_dim=H, num_heads=heads, dim_feedforward=FFN, num_queries=Q,
+        src_scales=(4, 2, 1), mask_dim=CIN[1], kv_chunk=256, dropout=0.0,
+    )
+    predictor = TransformerPredictor(
+        cfg=tcfg, n_classes=C, n_infers=S,
+        in_channels=(CIN[4], CIN[2], CIN[1]),
+    )
+    grids = {
+        s: SparseGrid(
+            coords=jnp.asarray(c4(coords[s])),
+            feats=jnp.asarray(feats_jax[s]),
+            mask=jnp.ones((S, coords[s].shape[1]), bool),
+            stride=s,
+        )
+        for s in (4, 2, 1)
+    }
+    box = Box(minimum=jnp.zeros((3,), jnp.int32), extent=(X, Y, Z))
+    params = _convert_transformer_sd(
+        {k: v.detach().numpy() for k, v in tp.state_dict().items()}, S
+    )
+    out = jax.jit(
+        lambda g: predictor.apply({"params": params}, g, box, False)
+    )(grids)
+
+    ref_q = np.stack(
+        [panop_preds[i]["query_logits"][0].numpy() for i in range(S)]
+    )
+    ref_v = np.stack(
+        [panop_preds[i]["voxel_logits"].F.numpy() for i in range(S)]
+    )
+    got_q = np.asarray(out.query_logits, np.float32)
+    got_v = np.asarray(out.voxel_logits, np.float32)
+    # bf16 KV streaming accumulates over 3 rounds; assert against the
+    # logit SCALE, not per-element rtol.
+    q_tol = 0.03 * np.abs(ref_q).max()
+    v_tol = 0.03 * np.abs(ref_v).max()
+    np.testing.assert_allclose(got_q, ref_q, atol=q_tol)
+    np.testing.assert_allclose(got_v, ref_v, atol=v_tol)
+
+    # ---- 5. criterion on each side's own logits -------------------------
+    T = 6
+    mask_id = r.randint(0, T + 1, (S, X, Y, Z)).astype(np.int32)
+    labels = r.randint(1, C, (S, T)).astype(np.int32)
+    unknown = r.rand(S, X, Y, Z) < 0.05
+    semantic = np.zeros((S, X, Y, Z), np.int32)
+    for i in range(S):
+        lab = np.concatenate([labels[i], [0]])   # id T -> empty
+        semantic[i] = lab[mask_id[i]]
+    semantic[unknown] = 255
+
+    cw = (0.5 + r.rand(C + 1)).astype(np.float32)
+    cw[-1] = 0.1
+    compl_w = (0.5 + r.rand(C)).astype(np.float32)
+
+    matcher = matcher_mod.HungarianMatcher(
+        cost_class=1.0, cost_mask=40.0, cost_dice=1.0
+    )
+    weight_dict = {
+        "loss_ce": 1.0, "loss_mask": 1.0, "loss_dice": 1.0,
+        "ssc_ce": 1.0, "ssc_lovasz": 1.0,
+    }
+    criterion = crit_mod.SetCriterion(
+        num_classes=C, matcher=matcher, weight_dict=weight_dict,
+        eos_coef=0.1, class_weights=[torch.from_numpy(cw)],
+        compl_labelweights=torch.from_numpy(compl_w),
+    )
+
+    ref_losses = {k: 0.0 for k in weight_dict}
+    for i in range(S):
+        masks_dense = torch.from_numpy(
+            (mask_id[i][None] == np.arange(T)[:, None, None, None]).astype(
+                np.float32
+            )
+        )
+        tgt = [{"labels": torch.from_numpy(labels[i]), "masks": masks_dense}]
+        outputs = {
+            "query_logits": panop_preds[i]["query_logits"],
+            "voxel_logits": panop_preds[i]["voxel_logits"],
+        }
+        with torch.no_grad():
+            l_label, l_mask, _ = criterion.compute_losses(
+                None, outputs, tgt,
+                torch.from_numpy(semantic[i][None]),
+                torch.from_numpy(unknown[i][None]),
+                0, min_C=torch.zeros(3, dtype=torch.int32),
+            )
+        ref_losses["loss_ce"] += float(l_label["loss_ce"]) / S
+        ref_losses["loss_mask"] += float(l_mask["loss_mask"]) / S
+        ref_losses["loss_dice"] += float(l_mask["loss_dice"]) / S
+        ref_losses["ssc_ce"] += float(l_mask["ssc_ce_loss"]) / S
+        ref_losses["ssc_lovasz"] += float(l_mask["ssc_lovasz_loss"]) / S
+
+    st = SubnetTargets(
+        labels=jnp.asarray(labels),
+        valid=jnp.ones((S, T), bool),
+        mask_id_dense=jnp.asarray(mask_id),
+        semantic_dense=jnp.asarray(semantic),
+        unknown_dense=jnp.asarray(unknown),
+    )
+
+    got_losses = jax.jit(
+        lambda p_q, p_v: criterion_all_subnets(
+            type("O", (), {
+                "query_logits": p_q, "voxel_logits": p_v, "aux": [],
+            })(),
+            grids[1],
+            jnp.zeros((S, n1, C)),
+            st,
+            jnp.zeros((S, 3), jnp.int32),
+            jnp.asarray(cw),
+            jnp.asarray(compl_w),
+            LossConfig(),
+            C,
+            include_aux=False,
+        )
+    )(out.query_logits, out.voxel_logits)
+
+    for ours_k, ref_k in (
+        ("loss_ce", "loss_ce"), ("loss_mask", "loss_mask"),
+        ("loss_dice", "loss_dice"), ("ssc_ce", "ssc_ce"),
+        ("ssc_lovasz", "ssc_lovasz"),
+    ):
+        got = float(got_losses[ours_k])
+        ref = ref_losses[ref_k]
+        assert abs(got - ref) <= 0.02 * max(abs(ref), 0.1), (
+            f"{ours_k}: jax={got:.5f} ref={ref:.5f}"
+        )
