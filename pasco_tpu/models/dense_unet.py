@@ -160,6 +160,129 @@ class DenseBN(nn.Module):
         return _mm(out, mask, self.packed)
 
 
+class DenseBNResizeCoords(nn.Module):
+    """``resize_bn`` + the 1x1 ``resize`` conv over [features ⊕ (x,y,z)
+    cell coords] WITHOUT materialising the 2*(ch+3)-lane concat.
+
+    The reference decoder concatenates normalised cell coordinates to the
+    up-path features before a BN + 1x1 conv (``decoder_v3.py``); on TPU a
+    134-lane packed volume tile-pads to 256 lanes — the (256,16,256,134)
+    train-step temps were 512 MB each at 1.9x padding (the round-3 OOM's
+    top allocation).  BN is per-channel and the 1x1 conv is linear, so the
+    coord channels split off exactly: features stay on their tile-aligned
+    [.., 2ch] buffer, and the coord contribution — affine in the cell
+    coordinate — collapses to three rank-1 broadcast terms fused into the
+    feature dot's epilogue.  Coord BN statistics come from mask marginals
+    (sum_cells m*c_j = <marginal counts, coord vector>), never from a
+    materialised coord volume.
+
+    Parameter/stat tree is identical to ``DenseBN`` under the same name
+    (scale/bias/mean/var of ch+3 channels), so checkpoints and the torch
+    converter are unaffected; the fused up-preamble path keeps reading the
+    same params through ``DenseBN(affine_only=True)`` on a token input.
+    """
+
+    axis_name: Optional[str] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, box, scale, wr, br, train,
+                 compute_dtype=None):
+        # x: [X, T, Y, 2ch] packed features (producer-masked or lean —
+        # stats mask internally exactly like DenseBN); mask: [X, 2T, Y].
+        X, T, Y, c2 = x.shape
+        ch = c2 // 2
+        c = ch + 3
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale_p = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias_p = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        # Per-axis coord value vectors, bit-matching the old
+        # cell_coords/scale -> bf16 rounding (volume dims are x, z, y).
+        mn = box.minimum
+        cx = ((jnp.arange(X, dtype=jnp.int32) * scale + mn[0])
+              .astype(jnp.float32) / scale).astype(x.dtype)
+        cz = ((jnp.arange(2 * T, dtype=jnp.int32) * scale + mn[2])
+              .astype(jnp.float32) / scale).astype(x.dtype)
+        cy = ((jnp.arange(Y, dtype=jnp.int32) * scale + mn[1])
+              .astype(jnp.float32) / scale).astype(x.dtype)
+
+        if train:
+            mx = _mm(x, mask, True).astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+            s1 = jnp.sum(mx, axis=(0, 1, 2))
+            s2 = jnp.sum(jnp.square(mx), axis=(0, 1, 2))
+            s1f = s1[:ch] + s1[ch:]
+            s2f = s2[:ch] + s2[ch:]
+            # Coord stats via mask marginals: sum_cells m * c_j depends on
+            # one axis only, so it is a dot of the marginal count vector
+            # with the (bf16-rounded) coord values.
+            mf = mask.astype(jnp.float32)
+            m_x, m_z, m_y = mf.sum((1, 2)), mf.sum((0, 2)), mf.sum((0, 1))
+            cxf, cyf, czf = (v.astype(jnp.float32) for v in (cx, cy, cz))
+            s1c = jnp.stack(
+                [m_x @ cxf, m_y @ cyf, m_z @ czf]
+            )
+            s2c = jnp.stack(
+                [m_x @ jnp.square(cxf), m_y @ jnp.square(cyf),
+                 m_z @ jnp.square(czf)]
+            )
+            s1 = jnp.concatenate([s1f, s1c])
+            s2 = jnp.concatenate([s2f, s2c])
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale_p
+        # Features: y = a*x + b on the tile-aligned buffer, then the
+        # feature block of the 1x1 resize as one packed dot.
+        a_f = inv[:ch].astype(x.dtype)
+        b_f = (bias_p[:ch] - mean[:ch] * inv[:ch]).astype(x.dtype)
+        xbn = x * jnp.concatenate([a_f, a_f]) + jnp.concatenate([b_f, b_f])
+        cd = compute_dtype or x.dtype
+        wf = blockdiag2_weight(wr[:ch]).astype(cd)
+        out = jnp.dot(xbn.astype(cd).reshape(-1, c2), wf).reshape(
+            X, T, Y, -1
+        )
+        # Coords: ((c_j - mean_j)*inv_j + b_j) * W_row_j — three rank-1
+        # broadcast terms (z differs per packed slot), plus the conv bias.
+        co2 = out.shape[-1]
+        a_c = inv[ch:]
+        b_c = bias_p[ch:] - mean[ch:] * inv[ch:]
+        wc = wr[ch:].astype(jnp.float32)                       # [3, co]
+        cxb = cx.astype(jnp.float32) * a_c[0] + b_c[0]         # [X]
+        cyb = cy.astype(jnp.float32) * a_c[1] + b_c[1]         # [Y]
+        czb = cz.astype(jnp.float32) * a_c[2] + b_c[2]         # [2T]
+        br2 = jnp.concatenate([br, br]).astype(jnp.float32)
+        coord = (
+            cxb[:, None, None, None] * jnp.tile(wc[0], 2)
+            + cyb[None, None, :, None] * jnp.tile(wc[1], 2)
+            + jnp.concatenate(
+                [czb[0::2, None] * wc[2], czb[1::2, None] * wc[2]], axis=-1
+            )[None, :, None, :]
+            + br2
+        )
+        return (out.astype(jnp.float32) + coord).astype(x.dtype)
+
+
 class DenseSpatialDropout(nn.Module):
     """Whole-channel dropout on a dense (optionally z-pair-packed) volume.
 
@@ -642,23 +765,32 @@ class DenseDecoderStage(nn.Module):
         if not lean:
             x = _mm(x, msk, pk)
 
-        norm_c = (
-            cell_coords(box, self.scale, ORDER).astype(jnp.float32) / self.scale
-        ).astype(x.dtype)
         if pk:
-            ncp = pack_z2(norm_c)
-            xc = jnp.concatenate(
-                [x[..., :ch], ncp[..., :3], x[..., ch:], ncp[..., 3:]], axis=-1
+            # Split resize: features stay on the tile-aligned [.., 2ch]
+            # buffer, coords fold to closed-form broadcast terms — the
+            # 2(ch+3)-lane concat lane-pads ~2x in HBM (see
+            # DenseBNResizeCoords).  Identical math, identical param tree.
+            tok2 = jnp.zeros((1, 1, 1, 2 * (ch + 3)), x.dtype)
+            wr, br = DenseConv(
+                ch, 1, compute_dtype=cd, packed=True, name="resize"
+            )(tok2, msk, params_only=True)
+            x = DenseBNResizeCoords(self.axis_name, name="resize_bn")(
+                x, msk, box, self.scale, wr[0], br, train, compute_dtype=cd
             )
         else:
+            norm_c = (
+                cell_coords(box, self.scale, ORDER).astype(jnp.float32)
+                / self.scale
+            ).astype(x.dtype)
             xc = jnp.concatenate([x, _mm(norm_c, msk, False)], axis=-1)
-        xc = DenseBN(
-            self.axis_name, packed=pk, mask_output=not lean, name="resize_bn"
-        )(xc, msk, train)
-        x = DenseConv(
-            ch, 1, compute_dtype=cd, packed=pk, mask_output=not lean,
-            name="resize",
-        )(xc, msk)
+            xc = DenseBN(
+                self.axis_name, packed=pk, mask_output=not lean,
+                name="resize_bn",
+            )(xc, msk, train)
+            x = DenseConv(
+                ch, 1, compute_dtype=cd, packed=pk, mask_output=not lean,
+                name="resize",
+            )(xc, msk)
         # skip is masked by its producer; at msk-invalid cells the sum is
         # garbage the lean res blocks never read.
         sk = skip.astype(x.dtype)

@@ -230,15 +230,16 @@ def unpack_mask_z2(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
 
 
 def mask_mul_z2(x, lo, hi):
-    """Per-slot masking of a packed volume (two lane-half selects; fuses)."""
+    """Per-slot masking of a packed volume as ONE select on the full-width
+    tensor: the slot mask broadcasts across each lane half, so XLA emits a
+    single fusion over the tile-aligned [..., 2C] buffer.  The previous
+    two-half-`where` + concat form materialised two [..., C] temps that
+    each lane-pad 2x in HBM at C=64 (they were the top allocations of the
+    train step's OOM dump)."""
     c = x.shape[-1] // 2
-    return jnp.concatenate(
-        [
-            jnp.where(lo[..., None], x[..., :c], 0),
-            jnp.where(hi[..., None], x[..., c:], 0),
-        ],
-        axis=-1,
-    )
+    m = jnp.stack([lo, hi], axis=-1)[..., None]          # [..., 2, 1]
+    m = jnp.broadcast_to(m, x.shape[:-1] + (2, c))
+    return jnp.where(m.reshape(x.shape), x, 0)
 
 
 def blockdiag2_weight(w: jnp.ndarray) -> jnp.ndarray:

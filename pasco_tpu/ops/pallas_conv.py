@@ -380,7 +380,8 @@ def conv_plan(
 
 
 def _tap_dots(
-    ib,                       # VMEM value [xw+2, Tp, 3*yt, ci2] (masked)
+    ib,                       # VMEM value [xw+2, Tp, 3*yt, ci2] (masked,
+    #                           unless ``pro`` applies the prologue here)
     shift_bufs,               # tuple of shift scratch refs
     w_refs,                   # tuple of weight refs (layout per slot_split)
     bias_ref,                 # VMEM [1, co2] f32
@@ -389,17 +390,37 @@ def _tap_dots(
     yt: int,
     t_out: int,
     slot_split: bool,
+    pro=None,                 # (a|None, c|None, relu, mask value): fused
+    #                           prologue applied on the dy slices — the
+    #                           shift copies touch exactly the 18 of 3*yt
+    #                           wide-buffer y columns the taps read, so
+    #                           riding the prologue on them skips a full
+    #                           wide-tile VPU pass + write-back per conv
 ):
     """All 27 taps of one tile as MXU dots; returns acc [n, co2] f32."""
     ci2 = ib.shape[-1]
     n = xw * t_out * yt
+
+    def _pslice(dy):
+        s = ib[:, :, yt - 1 + dy : 2 * yt - 1 + dy]
+        if pro is None:
+            return s
+        a, c, relu, mb = pro
+        if a is not None:
+            s = s * a + c
+        if relu:
+            s = jnp.maximum(s, 0)
+        return jnp.where(
+            mb[:, :, yt - 1 + dy : 2 * yt - 1 + dy] != 0, s, 0
+        )
+
     if slot_split:
         shift_lo, shift_hi = shift_bufs
         w0lo, w0hi, wm, wp = w_refs
         ci = ci2 // 2
         co2 = w0lo.shape[-1]
         for dy in range(3):
-            s = ib[:, :, yt - 1 + dy : 2 * yt - 1 + dy]
+            s = _pslice(dy)
             shift_lo[:, :, :, dy * ci : (dy + 1) * ci] = s[..., :ci]
             shift_hi[:, :, :, dy * ci : (dy + 1) * ci] = s[..., ci:]
         acc = jnp.broadcast_to(bias_ref[0].astype(jnp.float32), (n, co2))
@@ -429,9 +450,7 @@ def _tap_dots(
     co2 = w0_ref.shape[-1]
     ci = ci2 // 2
     for dy in range(3):
-        shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = ib[
-            :, :, yt - 1 + dy : 2 * yt - 1 + dy
-        ]
+        shift_buf[:, :, :, dy * ci2 : (dy + 1) * ci2] = _pslice(dy)
     # Combined neighbour-window buffer: per dy, lanes [prev HI | next LO]
     # (the single live slot of each neighbour z-pair) so BOTH windows ride
     # one block-diagonal dot (see pm_tap_weights).  Sub-tile (Ci-wide)
@@ -765,26 +784,36 @@ def _fused_kernel(
         ci2 = in_bufs.shape[-1] // p
         n = xw * t_out * yt
 
-        # Prologue: y = [relu](a*x + c) masked, on the (lane-folded) wide
-        # tile in place.  Select (not multiply): the chain's HBM buffers
-        # are uninitialised outside active tiles, and NaN*0 would be NaN.
-        # The affine rows arrive pre-tiled to the folded lane count, so the
-        # prologue runs on 1/p the vregs of the unfolded form.
+        # Prologue: y = [relu](a*x + c) masked.  Select (not multiply):
+        # the chain's HBM buffers are uninitialised outside active tiles,
+        # and NaN*0 would be NaN.  For p == 1 the prologue rides the
+        # y-shift copies inside _tap_dots — they touch exactly the 18 of
+        # 3*yt wide-buffer columns the taps read, so fusing it there
+        # skips a full wide-tile VPU pass + write-back per conv.  The
+        # lane-folded path (p > 1) keeps the whole-buffer form (the
+        # affine rows arrive pre-tiled to the folded lane count).
         x = in_bufs[slot]
-        if apply_affine:
-            a = aff_ref[0].astype(x.dtype)
-            c = aff_ref[1].astype(x.dtype)
-            y = x * a + c
+        if p == 1:
+            a = aff_ref[0].astype(x.dtype) if apply_affine else None
+            c = aff_ref[1].astype(x.dtype) if apply_affine else None
+            pro = (a, c, apply_relu, m_bufs[slot])
+            ib = x
         else:
-            y = x
-        if apply_relu:
-            y = jnp.maximum(y, 0)
-        in_bufs[slot] = jnp.where(m_bufs[slot] != 0, y, 0)
+            if apply_affine:
+                a = aff_ref[0].astype(x.dtype)
+                c = aff_ref[1].astype(x.dtype)
+                y = x * a + c
+            else:
+                y = x
+            if apply_relu:
+                y = jnp.maximum(y, 0)
+            in_bufs[slot] = jnp.where(m_bufs[slot] != 0, y, 0)
+            pro = None
+            ib = _unfold_halo(in_bufs[slot], p, t_out + 2, ci2)
 
         acc = _tap_dots(
-            _unfold_halo(in_bufs[slot], p, t_out + 2, ci2),
-            shift_bufs, w_refs, bias_ref,
-            xw=xw, yt=yt, t_out=t_out, slot_split=slot_split,
+            ib, shift_bufs, w_refs, bias_ref,
+            xw=xw, yt=yt, t_out=t_out, slot_split=slot_split, pro=pro,
         )
         if has_skip:
             skip_dma.wait()
@@ -1055,19 +1084,11 @@ def block_sparse_packed_conv(
     """
     X, T, Y, c2 = x.shape
     cd = compute_dtype or x.dtype
-    c = c2 // 2
     co = weight.shape[-1]
     xw, yt, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)
     assert X % xw == 0, (x.shape, xw)
     p = lane_fold(c2, 2 * co, T)
-    lo, hi = mask[:, 0::2], mask[:, 1::2]
-    xm = jnp.concatenate(
-        [
-            jnp.where(lo[..., None], x[..., :c], 0),
-            jnp.where(hi[..., None], x[..., c:], 0),
-        ],
-        axis=-1,
-    ).astype(cd)
+    xm = _mask_slots(x, mask).astype(cd)
     # y pads a full tile per side (plus rounding to a tile multiple) so
     # every tile's wide halo DMA slice stays sublane-tile aligned (Mosaic
     # requires it for HBM slices).
@@ -1115,15 +1136,9 @@ def block_sparse_packed_conv(
 
 
 def _mask_slots(v: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    c = v.shape[-1] // 2
-    lo, hi = mask[:, 0::2], mask[:, 1::2]
-    return jnp.concatenate(
-        [
-            jnp.where(lo[..., None], v[..., :c], 0),
-            jnp.where(hi[..., None], v[..., c:], 0),
-        ],
-        axis=-1,
-    )
+    from pasco_tpu.ops.dense_ops import mask_mul_z2
+
+    return mask_mul_z2(v, mask[:, 0::2], mask[:, 1::2])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
