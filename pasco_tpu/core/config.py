@@ -332,20 +332,23 @@ def flagship_narrow_config(n_infers: int = 2) -> PaSCoConfig:
 
 
 def dryrun_config(n_infers: int = 2) -> PaSCoConfig:
-    """Multi-chip dry-run preset: real flagship LAYER WIDTHS (f=64, the
-    384-dim transformer, 100 queries) and the real per-layer sharding, with
-    the graph shrunk to fit a cold compile + one 8-device step in the
-    driver's budget on a single-core CPU host (round-2 regression: the
-    flagship-narrow dry-run cold-compiled >9.5 min).
+    """Multi-chip dry-run preset: the transformer keeps its real width
+    (384-dim, 100 queries) and every per-layer sharding rule is the real
+    one, but conv widths are HALVED to f=32 so a cold compile + one
+    8-device step fits the driver's budget on a single-core CPU host
+    (round-2 regression: the flagship-narrow f=64 dry-run cold-compiled
+    >9.5 min and the 8-device step alone executed ~5 min serialised).
 
-    Cuts vs ``flagship_narrow_config`` (all sharding-preserving): one
-    residual block per stage instead of 3, no aux-level criterion, a
-    32x32x8 working box (execution of the 8-device step is serialised on
-    the single host core, so step FLOPs — box volume x channel widths —
-    set the wall-clock; the channel widths are the realism that matters
-    for sharding, the box is not), and capacities to match.  Every layer
-    type, both BN psum folds, the vmapped subnet axis, and the full
-    matched criterion still run at real channel/query widths.
+    Cuts vs ``flagship_narrow_config`` (all sharding-preserving): f=32
+    conv widths, one residual block per stage instead of 3, no aux-level
+    criterion, a 32x32x8 working box (execution of the 8-device step is
+    serialised on the single host core, so step FLOPs — box volume x
+    channel widths — set the wall-clock), and capacities to match.  Every
+    layer type, both BN psum folds, the vmapped subnet axis, and the full
+    matched criterion still run; the transformer alone runs at real
+    channel/query widths.  Flagship-width (f=64) multi-device correctness
+    is covered separately by the slow-tier test
+    ``tests/test_multichip.py::test_flagship_width_two_device_step``.
     """
     base = flagship_narrow_config(n_infers=n_infers)
     return base.replace(

@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pasco_tpu.utils.cache import jax_cache_dir as _jax_cache_dir
 
+# Baseline for vs_baseline: this repo's own best captured on-chip step time
+# BEFORE the packed-conv custom VJP landed — 1.42 s/step (PERF.md "Training
+# step": the batched-Lovász + row-oriented mask-gather measurement, full
+# flagship, batch 1, (256, 256, 32) crop).  NOT a reference number: the
+# reference publishes no per-step time (bs=2 across 2xV100,
+# scripts/train.py:213 — wall-clock only).
+PRE_VJP_SEC_PER_STEP = 1.42
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -103,7 +111,7 @@ def main() -> None:
                 "metric": "train_sec_per_step",
                 "value": round(sec, 3),
                 "unit": "s/step",
-                "vs_baseline": round(1.42 / sec, 3),
+                "vs_baseline": round(PRE_VJP_SEC_PER_STEP / sec, 3),
             }
         )
     )

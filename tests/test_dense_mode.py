@@ -369,6 +369,71 @@ def test_z_pack_model_equivalence():
         )
 
 
+def test_resize_bn_coords_train_matches_concat():
+    """DenseBNResizeCoords' train=True path (mask-marginal coordinate BN
+    statistics + running-stat updates) must match the unfused concat path
+    — DenseBN + 1x1 conv over [features ⊕ coords] — in BOTH outputs (at
+    valid cells) and updated batch_stats (round-3 advisor finding: the
+    z_pack equivalence test only covered train=False)."""
+    from pasco_tpu.core.sparse import Box
+    from pasco_tpu.models.dense_unet import _mm, DenseBN, DenseBNResizeCoords
+    from pasco_tpu.ops.dense_ops import cell_coords, pack_z2, unpack_z2
+
+    r = np.random.RandomState(7)
+    X, Z, Y, ch, co = 8, 6, 10, 5, 4
+    scale = 2
+    box = Box.create([2, -4, -6], [X * scale, Y * scale, Z * scale])
+    mask = jnp.asarray(r.rand(X, Z, Y) > 0.35)
+    x = jnp.asarray(r.randn(X, Z, Y, ch).astype(np.float32))
+    x = _mm(x, mask, False)  # producer-masked, like the model
+    wr = jnp.asarray(r.randn(ch + 3, co).astype(np.float32) * 0.3)
+    br = jnp.asarray(r.randn(co).astype(np.float32) * 0.1)
+    bn_scale = jnp.asarray(1.0 + 0.2 * r.randn(ch + 3).astype(np.float32))
+    bn_bias = jnp.asarray(0.2 * r.randn(ch + 3).astype(np.float32))
+
+    # Fused path (packed volume).
+    fused = DenseBNResizeCoords()
+    xp = pack_z2(x)
+    vf = fused.init(jax.random.PRNGKey(0), xp, mask, box, scale, wr, br, True)
+    vf = jax.tree_util.tree_map(lambda a: a, vf)  # unfreeze-safe copy
+    vf = {
+        "params": {"scale": bn_scale, "bias": bn_bias},
+        "batch_stats": vf["batch_stats"],
+    }
+    out_f, mut_f = fused.apply(
+        vf, xp, mask, box, scale, wr, br, True, mutable=["batch_stats"]
+    )
+    out_f = unpack_z2(out_f)
+
+    # Reference concat path (unpacked): BN over [x ⊕ masked coords], then
+    # the 1x1 resize dot — exactly the model's pk=False branch.
+    norm_c = (
+        cell_coords(box, scale, "xzy").astype(jnp.float32) / scale
+    )
+    xc = jnp.concatenate([x, _mm(norm_c, mask, False)], axis=-1)
+    bn = DenseBN()
+    vb = bn.init(jax.random.PRNGKey(0), xc, mask, True)
+    vb = {
+        "params": {"scale": bn_scale, "bias": bn_bias},
+        "batch_stats": vb["batch_stats"],
+    }
+    out_b, mut_b = bn.apply(vb, xc, mask, True, mutable=["batch_stats"])
+    ref = jnp.dot(out_b.reshape(-1, ch + 3), wr).reshape(X, Z, Y, co) + br
+
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mut_f["batch_stats"][k]),
+            np.asarray(mut_b["batch_stats"][k]),
+            rtol=1e-5, atol=1e-6,
+        )
+    # Fused leaves garbage at empty cells by contract — compare valid only.
+    np.testing.assert_allclose(
+        np.asarray(_mm(out_f, mask, False)),
+        np.asarray(_mm(ref, mask, False)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_compact_src_matches_nonzero():
     from pasco_tpu.ops.dense_ops import compact_src
 
