@@ -94,14 +94,17 @@ def zfold_conv3d(
     # in the profile); the einsum fuses to a single broadcast-select pass.
     import numpy as _np
 
-    band = _np.zeros((kz, Z, Z), w.dtype)
+    band = _np.zeros((kz, Z, Z), _np.float32)
     for zo in range(Z):
         for zi in range(Z):
             dz = zi - zo + kz // 2
             if 0 <= dz < kz:
                 band[dz, zi, zo] = 1
+    # Expand in ``cd`` directly (one-hot multiply is exact in any dtype):
+    # the f32 form materialised a 206 MB [7, 7, 1024, 1024] weight per
+    # conv per forward and then converted it to ``cd`` in a second pass.
     w2 = jnp.einsum(
-        "xyzcd,zio->xyicod", w, jnp.asarray(band)
+        "xyzcd,zio->xyicod", w.astype(cd), jnp.asarray(band, cd)
     ).reshape(kx, ky, Z * c, Z * d)
     # No preferred_element_type: the TPU conv accumulates in f32 internally
     # regardless, and a f32-out conv with bf16 operands breaks the conv VJP

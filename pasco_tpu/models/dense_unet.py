@@ -619,7 +619,7 @@ class DenseEncStage(nn.Module):
             )
         if fused:
             from pasco_tpu.ops.pallas_conv import (
-                active_tiles_xy, conv_plan, pad_stage, stage_mask8,
+                active_tiles, conv_plan, pad_stage, stage_mask8,
                 unpad_stage)
 
             Y1 = x.shape[2] // 2 if fused_down else x.shape[2]
@@ -627,7 +627,7 @@ class DenseEncStage(nn.Module):
             m8 = stage_mask8(mask, 2 * ch)
             ctx = (
                 m8,
-                *active_tiles_xy(jnp.any(mask, axis=1), plan[0], plan[1]),
+                *active_tiles(mask, plan[0], plan[1], plan[2], plan[5]),
             )
             if xpad is None:
                 xpad = pad_stage(x)
@@ -712,7 +712,7 @@ class DenseDecoderStage(nn.Module):
         )
         if fused_up:
             from pasco_tpu.ops.pallas_conv import (
-                active_tiles_xy, conv_plan, stage_mask8, unpad_stage)
+                active_tiles, conv_plan, stage_mask8, unpad_stage)
             from pasco_tpu.ops.pallas_deconv import up_preamble_padded
 
             msk = msk_early
@@ -736,7 +736,7 @@ class DenseDecoderStage(nn.Module):
             plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True)
             ctx = (
                 stage_mask8(msk, 2 * ch),
-                *active_tiles_xy(jnp.any(msk, axis=1), plan[0], plan[1]),
+                *active_tiles(msk, plan[0], plan[1], plan[2], plan[5]),
             )
             for ri in range(self.n_res):
                 xpad = Block(
@@ -803,7 +803,7 @@ class DenseDecoderStage(nn.Module):
         )
         if fused:
             from pasco_tpu.ops.pallas_conv import (
-                active_tiles_xy, conv_plan, pad_stage, stage_mask8,
+                active_tiles, conv_plan, pad_stage, stage_mask8,
                 unpad_stage)
 
             plan = conv_plan(
@@ -811,7 +811,7 @@ class DenseDecoderStage(nn.Module):
             )
             ctx = (
                 stage_mask8(msk, x.shape[-1]),
-                *active_tiles_xy(jnp.any(msk, axis=1), plan[0], plan[1]),
+                *active_tiles(msk, plan[0], plan[1], plan[2], plan[5]),
             )
             xpad = pad_stage(x)
             for ri in range(self.n_res):
@@ -995,12 +995,12 @@ def fused_refine_one(x, keep, w1, aff, w2, b2, cd, xpad=None):
     buffer when available — skips re-padding the volume the chain just
     unpadded (garbage at non-kept cells is masked by the prologue)."""
     from pasco_tpu.ops.pallas_conv import (
-        active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
+        active_tiles, conv_plan, fused_packed_conv, pad_stage,
         stage_mask8)
 
     plan = conv_plan(x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True)
     m8 = stage_mask8(keep, x.shape[-1])
-    ids, n_act = active_tiles_xy(jnp.any(keep, axis=1), plan[0], plan[1])
+    ids, n_act = active_tiles(keep, plan[0], plan[1], plan[2], plan[5])
     if xpad is None:
         xpad = pad_stage(x)
     g = fused_packed_conv(
@@ -1086,29 +1086,8 @@ class DensePaSCoNet(nn.Module):
             & jnp.all(rel >= 0, -1)
             & (rel[:, 0] < ex) & (rel[:, 1] < ey) & (rel[:, 2] < ez)
         )
-        # Volumes are laid out [X, Z, Y, C] (see ORDER above): cell ids
-        # enumerate y fastest.
-        cell = (rel[:, 0] * ez + rel[:, 2]) * ey + rel[:, 1]
         subnet = jnp.clip(inp.point_coords[:, 0], 0, S - 1)
-        flat_idx = jnp.where(in_box, subnet * n_cells + cell, S * n_cells)
         neg = jnp.asarray(-jnp.inf, cd)
-        grid_f = jnp.full((S * n_cells + 1, m.f), neg, cd)
-        grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
-        # A cell is occupied iff any point scattered into it, iff its row
-        # rose above the -inf init — spares a second (bool) scatter pass,
-        # which profiling put at ~14 ms/scan.  Row-max (not a column
-        # slice: `grid_f[:, 0]` materialised a [4M, 1] lane-padded array
-        # and ran 3.6 ms at 6 GB/s) and an elementwise -inf select, both
-        # of which fuse over one read of the volume.
-        occ = jnp.max(grid_f, axis=-1) > neg
-        grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
-        sub_mask = occ[:-1].reshape(S, ex, ez, ey)
-        x = (
-            grid_f.reshape(S, n_cells, m.f)
-            .transpose(1, 0, 2)
-            .reshape(ex, ez, ey, S * m.f)
-        )
-        mask1 = jnp.any(sub_mask, axis=0)
 
         # z-pack the stride-1/2 stages ([X, Z, Y, C] -> [X, Z/2, Y, 2C]):
         # fills the 128-lane tile and runs convs as batched 2D pairs —
@@ -1122,7 +1101,49 @@ class DensePaSCoNet(nn.Module):
             else set()
         )
         if zp:
-            x = pack_z2(x)
+            # Scatter rows land DIRECTLY in the z-pair-packed MIMO layout:
+            # row (((x*T + t)*Y + y)*2 + slot)*S + s of a [.., f] table is
+            # lane block [slot, s] of packed cell (x, t, y), so the
+            # [N, 2*S*f] reshape below is a free bitcast — the old
+            # [S, cells, f] -> transpose -> pack_z2 route paid three
+            # ~508 MB relayout passes per scan at the s1 shape.
+            tz = ez // 2
+            cellrow = (rel[:, 0] * tz + rel[:, 2] // 2) * ey + rel[:, 1]
+            row = (cellrow * 2 + (rel[:, 2] % 2)) * S + subnet
+            n_rows = ex * tz * ey * 2 * S          # == n_cells * S
+            flat_idx = jnp.where(in_box, row, n_rows)
+            grid_f = jnp.full((n_rows + 1, m.f), neg, cd)
+            grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
+            # A cell is occupied iff any point scattered into it, iff its
+            # row rose above the -inf init — spares a second (bool)
+            # scatter pass (~14 ms/scan profiled).  Row-max + -inf select
+            # fuse over one read of the volume.
+            occ = jnp.max(grid_f, axis=-1) > neg
+            grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
+            x = grid_f.reshape(ex, tz, ey, 2 * S * m.f)
+            # Occupancy is tiny (i1): unzip the packed row order back to
+            # logical [S, X, Z, Y].
+            sub_mask = (
+                occ[:-1].reshape(ex, tz, ey, 2, S)
+                .transpose(4, 0, 1, 3, 2)          # [S, X, T, slot, Y]
+                .reshape(S, ex, ez, ey)
+            )
+        else:
+            # Volumes are laid out [X, Z, Y, C] (see ORDER above): cell
+            # ids enumerate y fastest.
+            cell = (rel[:, 0] * ez + rel[:, 2]) * ey + rel[:, 1]
+            flat_idx = jnp.where(in_box, subnet * n_cells + cell, S * n_cells)
+            grid_f = jnp.full((S * n_cells + 1, m.f), neg, cd)
+            grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
+            occ = jnp.max(grid_f, axis=-1) > neg
+            grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
+            sub_mask = occ[:-1].reshape(S, ex, ez, ey)
+            x = (
+                grid_f.reshape(S, n_cells, m.f)
+                .transpose(1, 0, 2)
+                .reshape(ex, ez, ey, S * m.f)
+            )
+        mask1 = jnp.any(sub_mask, axis=0)
         # Block-sparse Pallas conv for the packed stages, on a real TPU
         # backend only (tests run the XLA formulation on CPU).  Training
         # uses the custom-VJP wrapper (ops/pallas_conv.py:

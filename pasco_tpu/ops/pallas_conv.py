@@ -338,15 +338,35 @@ def lane_fold(ci2: int, co2: int, t_out: int) -> int:
     return p if t_out % p == 0 else 1
 
 
+def band_rows(t_rows: int, p: int) -> int:
+    """T-band height (folded interior rows per grid step).
+
+    Scans are z-sparse INSIDE occupied xy columns (ground plane at the
+    bottom, sparse structure above): at the flagship s1 shape the (8, 16)
+    xy tiles are ~59% occupied but (8, 16, 8-z) bands only ~16% — banding
+    the grid over (xy tile, t band) skips ~3x the FLOPs of xy tiles alone
+    on real occupancy, and far more once trained decoders prune.  Bands
+    apply only to the unfolded layout (p == 1; folded stages interleave
+    z-pairs across lanes, and their T/p is tiny anyway)."""
+    if p > 1 or t_rows <= 4 or t_rows % 4 != 0:
+        return t_rows
+    return 4
+
+
 def conv_plan(
     ci2: int, co2: int, t_padded: int, fused: bool
-) -> Tuple[int, int, bool, bool]:
-    """Pick ``(xw, yt, double_buffer, slot_split)`` for a packed-conv
-    stage so the kernel's VMEM scratch fits :data:`_SCOPED_VMEM_BUDGET`.
+) -> Tuple[int, int, int, bool, bool, int]:
+    """Pick ``(xw, yt, tb, double_buffer, slot_split, p)`` for a
+    packed-conv stage so the kernel's VMEM scratch fits
+    :data:`_SCOPED_VMEM_BUDGET`.
 
-    ``slot_split`` is availability-driven (per-slot lane slices need
-    Ci % 128 == 0); the (xw, double_buffer) ladder trades DMA/compute
-    overlap for footprint.  All convs of one stage share a plan (same
+    ``tb`` is the t-band height (:func:`band_rows`): each grid step
+    computes one (xw, tb, yt) sub-block and the grid runs over ACTIVE
+    (xy tile, band) pairs — :func:`active_tiles` needs (xw, yt, tb, p)
+    from the same plan.  ``slot_split`` is availability-driven (per-slot
+    lane slices need Ci % 128 == 0); the (xw, double_buffer) ladder
+    trades DMA/compute overlap for footprint.  ``p`` is the stage's HBM
+    :func:`lane_fold` factor.  All convs of one stage share a plan (same
     channel count), so active-tile ids can be computed once per stage.
     """
     ci, co = ci2 // 2, co2 // 2
@@ -361,22 +381,23 @@ def conv_plan(
     yt = 16
     t_out = t_padded - 2
     p = lane_fold(ci2, co2, t_out)
-    tp_rows = t_out // p + 2              # packed t' rows DMAed per tile
+    tb = band_rows(t_out // p, p)         # folded interior rows per step
+    tl = tb * p                           # logical t rows per step
     for xw, db in ((8, True), (8, False), (4, True), (4, False)):
-        inb = (2 if db else 1) * (xw + 2) * tp_rows * 3 * yt * p * ci2 * 2
+        inb = (2 if db else 1) * (xw + 2) * (tb + 2) * 3 * yt * p * ci2 * 2
         mb = (inb // 2) if fused else 0      # int8 mask mirrors the input
         # unpacked compute view (lane-padded in VMEM like all buffers)
-        comp = (xw + 2) * t_padded * 3 * yt * _pad128(ci2) * 2 if p > 1 else 0
-        shift = (xw + 2) * t_padded * yt * 3 * ci2 * 2
+        comp = (xw + 2) * (tl + 2) * 3 * yt * _pad128(ci2) * 2 if p > 1 else 0
+        shift = (xw + 2) * (tl + 2) * yt * 3 * ci2 * 2
         if not slot_split:                   # + the combined-window buffer
-            shift += (xw + 2) * t_out * yt * 3 * ci2 * 2
-        outb = xw * t_out * yt * _pad128(co2) * 2
+            shift += (xw + 2) * tl * yt * 3 * ci2 * 2
+        outb = xw * tl * yt * _pad128(co2) * 2
         skipb = outb if fused else 0
-        accb = xw * t_out * yt * _pad128(co2) * 4
+        accb = xw * tl * yt * _pad128(co2) * 4
         total = inb + mb + comp + shift + outb + skipb + accb + wbytes
         if total <= _SCOPED_VMEM_BUDGET:
-            return xw, yt, db, slot_split
-    return 4, yt, False, slot_split
+            return xw, yt, tb, db, slot_split, p
+    return 4, yt, tb, False, slot_split, p
 
 
 def _tap_dots(
@@ -515,39 +536,52 @@ def _fold_interior(a, p, c2):
     return jnp.stack(rows, axis=1)
 
 
+def _decode_tid(tid, by: int, nb: int, xw: int, yt: int, tb: int):
+    """Flat (xy tile, t band) id -> (x0, y0, t0) block corner.  Band is
+    the fastest-varying component so consecutive grid steps share halo
+    rows (tid = (xi * by + yi) * nb + band)."""
+    band = jax.lax.rem(tid, nb)
+    xy = tid // nb
+    return (xy // by) * xw, jax.lax.rem(xy, by) * yt, band * tb
+
+
 def _packed_kernel(
-    ids_ref,                # SMEM [n_tiles] flat tile id
+    ids_ref,                # SMEM [n_tiles*nb] flat (tile, band) id
     n_active_ref,           # SMEM [1]
     xp_ref,                 # HBM [X+2, T/p+2, Y+2yt, p*2Ci] padded masked
     w_refs,                 # VMEM weight refs (layout per slot_split)
     bias_ref,               # VMEM [1, 2Co] (zeros when no bias)
     out_ref,                # HBM [X, T/p, Y, p*2Co]
-    in_bufs,                # VMEM [nbuf, xw+2, T/p+2, 3*yt, p*2Ci]
+    in_bufs,                # VMEM [nbuf, xw+2, tb+2, 3*yt, p*2Ci]
     shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
-    out_buf,                # VMEM [xw, T/p, yt, p*2Co]
+    out_buf,                # VMEM [xw, tb, yt, p*2Co]
     in_sems,                # DMA sems (nbuf,)
     out_sem,
     *,
     xw: int,
     yt: int,
-    t_out: int,
+    tb: int,                # folded interior t rows per grid step
     by: int,
+    nb: int,                # t bands per xy tile
     slot_split: bool,
     db: bool,
     p: int = 1,
 ):
     g = pl.program_id(0)
     n_act = n_active_ref[0]
+    t_out = tb * p          # logical t rows per step
 
     def in_dma(slot, t_idx):
         # One wide DMA covering the tile plus a full y-tile of halo per
         # side: HBM slices must be sublane(Y)-tile aligned, so the +-1 y
-        # taps are taken as VMEM-local slices instead.
-        tid = ids_ref[t_idx]
+        # taps are taken as VMEM-local slices instead.  The t band rides a
+        # dynamic offset on a free (untiled) dim: padded rows [t0, t0+tb+2)
+        # hold the band's interior plus its +-1 halo rows.
+        x0, y0, t0 = _decode_tid(ids_ref[t_idx], by, nb, xw, yt, tb)
         return pltpu.make_async_copy(
             xp_ref.at[
-                pl.ds((tid // by) * xw, xw + 2), :,
-                pl.ds((tid % by) * yt, 3 * yt),
+                pl.ds(x0, xw + 2), pl.ds(t0, tb + 2),
+                pl.ds(y0, 3 * yt),
             ],
             in_bufs.at[slot],
             in_sems.at[slot],
@@ -585,14 +619,27 @@ def _packed_kernel(
         out_buf[...] = _fold_interior(
             acc.reshape(xw, t_out, yt, co2).astype(out_buf.dtype), p, co2
         )
-        tid = ids_ref[g]
+        x0, y0, t0 = _decode_tid(ids_ref[g], by, nb, xw, yt, tb)
         copy_out = pltpu.make_async_copy(
             out_buf,
-            out_ref.at[pl.ds((tid // by) * xw, xw), :, pl.ds((tid % by) * yt, yt)],
+            out_ref.at[pl.ds(x0, xw), pl.ds(t0, tb), pl.ds(y0, yt)],
             out_sem,
         )
         copy_out.start()
         copy_out.wait()
+
+
+def _compact_ids(occ: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ids, count): flat indices of the True entries of ``occ``, packed
+    to the front of a capacity-sized id vector."""
+    cap = occ.shape[0]
+    new_pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    dest = jnp.where(occ, new_pos, cap)
+    src = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    )[:cap]
+    return src.astype(jnp.int32), (new_pos[-1] + 1).reshape(1).astype(jnp.int32)
 
 
 def active_tiles_xy(
@@ -605,49 +652,71 @@ def active_tiles_xy(
     X, Y = occ_xy.shape
     bx, by = X // xw, Y // yt
     occ = occ_xy.reshape(bx, xw, by, yt).any(axis=(1, 3)).reshape(-1)
-    cap = bx * by
-    new_pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
-    dest = jnp.where(occ, new_pos, cap)
-    src = (
-        jnp.zeros((cap + 1,), jnp.int32)
-        .at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    )[:cap]
-    return src.astype(jnp.int32), (new_pos[-1] + 1).reshape(1).astype(jnp.int32)
+    return _compact_ids(occ)
+
+
+def active_tiles(
+    mask: jnp.ndarray,        # [X, Z, Y] logical occupancy
+    xw: int, yt: int, tb: int,
+    p: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat ids of occupied (xw, tb, yt) blocks for the t-banded grid
+    (tid = (xi * by + yi) * nb + band — band fastest, matching
+    :func:`_decode_tid`).  A band is active iff any cell of the stage
+    mask falls in it; the submanifold contract (outputs read at
+    mask-true cells only) makes skipping the rest exact.  ``tb`` is in
+    FOLDED rows (logical z per band = 2 * p * tb)."""
+    X, Z, Y = mask.shape
+    m = jnp.pad(mask, ((0, 0), (0, 0), (0, (-Y) % yt)))
+    Yp = m.shape[2]
+    bx, by = X // xw, Yp // yt
+    zb = 2 * p * tb                       # logical z per band
+    nb = Z // zb
+    occ = (
+        m.reshape(bx, xw, nb, zb, by, yt)
+        .any(axis=(1, 3, 5))              # [bx, nb, by]
+        .transpose(0, 2, 1)               # [bx, by, nb]
+        .reshape(-1)
+    )
+    return _compact_ids(occ)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("xw", "yt", "slot_split", "db", "p")
+    jax.jit, static_argnames=("xw", "yt", "tb", "slot_split", "db", "p")
 )
 def _packed_conv_call(
-    xp, weights, bias2, ids, n_active, xw, yt, slot_split, db, p=1
+    xp, weights, bias2, ids, n_active, xw, yt, tb, slot_split, db, p=1
 ):
     """``weights`` is the tuple from :func:`split_tap_weights` when
     ``slot_split`` else a 1-tuple of the dense packed weight.  ``p`` is the
     HBM lane-fold factor (:func:`lane_fold`): ``xp``/output rows carry
-    ``p`` z-pair slots in their lanes."""
+    ``p`` z-pair slots in their lanes.  ``tb`` is the t-band height in
+    folded rows; ``ids`` must come from :func:`active_tiles` with the
+    same (xw, yt, tb, p)."""
     Xp, Tpf, Yp, cif = xp.shape
     ci2 = cif // p
     X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * yt
-    Tp = T + 2
+    tl = tb * p                        # logical t rows per grid step
     co2 = weights[0].shape[-1]
     by = Y // yt
+    nb = (Tpf - 2) // tb
     nw = len(weights)
     nbuf = 2 if db else 1
 
     if slot_split:
         shift_shapes = [
-            pltpu.VMEM((xw + 2, Tp, yt, 3 * (ci2 // 2)), xp.dtype)
+            pltpu.VMEM((xw + 2, tl + 2, yt, 3 * (ci2 // 2)), xp.dtype)
             for _ in range(2)
         ]
     else:
         shift_shapes = [
-            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
-            pltpu.VMEM((xw + 2, Tp - 2, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, tl + 2, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, tl, yt, 3 * ci2), xp.dtype),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=((X // xw) * by,),
+        grid=((X // xw) * by * nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
             *[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,  # weights
@@ -656,9 +725,9 @@ def _packed_conv_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, xw + 2, Tpf, 3 * yt, cif), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, tb + 2, 3 * yt, cif), xp.dtype),
             *shift_shapes,
-            pltpu.VMEM((xw, T // p, yt, p * co2), xp.dtype),
+            pltpu.VMEM((xw, tb, yt, p * co2), xp.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -674,7 +743,7 @@ def _packed_conv_call(
         out_buf, in_sems, out_sem = rest[nw + 4 + ns : nw + 7 + ns]
         _packed_kernel(ids_ref, n_ref, xp_ref, w_refs, b_ref, out_ref,
                        in_bufs, shift_bufs, out_buf, in_sems, out_sem,
-                       xw=xw, yt=yt, t_out=T, by=by,
+                       xw=xw, yt=yt, tb=tb, by=by, nb=nb,
                        slot_split=slot_split, db=db, p=p)
 
     out0 = jnp.zeros((X, T // p, Y, p * co2), xp.dtype)
@@ -714,26 +783,27 @@ def _fused_kernel(
     bias_ref,               # VMEM [1, 2Co] f32
     skip_ref,               # HBM padded [X+2, T+2, Y+2yt, 2Co] (or dummy)
     out_ref,                # HBM padded or interior output
-    in_bufs,                # VMEM [nbuf, xw+2, T+2, 3*yt, 2Ci]
-    m_bufs,                 # VMEM [nbuf, xw+2, T+2, 3*yt, 2Ci] int8
+    in_bufs,                # VMEM [nbuf, xw+2, tb+2, 3*yt, 2Ci]
+    m_bufs,                 # VMEM [nbuf, xw+2, tb+2, 3*yt, 2Ci] int8
     shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
-    skip_buf,               # VMEM [xw, T, yt, 2Co]
-    out_buf,                # VMEM [xw, T, yt, 2Co]
+    skip_buf,               # VMEM [xw, tb, yt, 2Co]
+    out_buf,                # VMEM [xw, tb, yt, 2Co]
     in_sems, m_sems, skip_sem, out_sem,
     *,
-    xw: int, yt: int, t_out: int, by: int,
+    xw: int, yt: int, tb: int, by: int, nb: int,
     apply_affine: bool, apply_relu: bool, has_skip: bool, out_padded: bool,
     slot_split: bool, db: bool, p: int = 1,
 ):
     g = pl.program_id(0)
     n_act = n_active_ref[0]
+    t_out = tb * p          # logical t rows per step
 
     def wide_dma(src_ref, bufs, sems, slot, t_idx):
-        tid = ids_ref[t_idx]
+        x0, y0, t0 = _decode_tid(ids_ref[t_idx], by, nb, xw, yt, tb)
         return pltpu.make_async_copy(
             src_ref.at[
-                pl.ds((tid // by) * xw, xw + 2), :,
-                pl.ds((tid % by) * yt, 3 * yt),
+                pl.ds(x0, xw + 2), pl.ds(t0, tb + 2),
+                pl.ds(y0, 3 * yt),
             ],
             bufs.at[slot],
             sems.at[slot],
@@ -749,13 +819,11 @@ def _fused_kernel(
 
     @pl.when(g < n_act)
     def _():
-        tid = ids_ref[g]
-        x0 = (tid // by) * xw
-        y0 = (tid % by) * yt
+        x0, y0, t0 = _decode_tid(ids_ref[g], by, nb, xw, yt, tb)
         if has_skip:
             skip_dma = pltpu.make_async_copy(
                 skip_ref.at[
-                    pl.ds(x0 + 1, xw), pl.ds(1, t_out // p),
+                    pl.ds(x0 + 1, xw), pl.ds(1 + t0, tb),
                     pl.ds(yt + y0, yt),
                 ],
                 skip_buf,
@@ -825,10 +893,10 @@ def _fused_kernel(
         )
         if out_padded:
             dst = out_ref.at[
-                pl.ds(x0 + 1, xw), pl.ds(1, t_out // p), pl.ds(yt + y0, yt)
+                pl.ds(x0 + 1, xw), pl.ds(1 + t0, tb), pl.ds(yt + y0, yt)
             ]
         else:
-            dst = out_ref.at[pl.ds(x0, xw), :, pl.ds(y0, yt)]
+            dst = out_ref.at[pl.ds(x0, xw), pl.ds(t0, tb), pl.ds(y0, yt)]
         copy_out = pltpu.make_async_copy(out_buf, dst, out_sem)
         copy_out.start()
         copy_out.wait()
@@ -837,33 +905,34 @@ def _fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "xw", "yt", "apply_affine", "apply_relu", "has_skip", "out_padded",
-        "slot_split", "db", "p",
+        "xw", "yt", "tb", "apply_affine", "apply_relu", "has_skip",
+        "out_padded", "slot_split", "db", "p",
     ),
 )
 def _fused_conv_call(
     xp, m8, weights, aff, bias2, skip, ids, n_active,
-    xw, yt, apply_affine, apply_relu, has_skip, out_padded, slot_split, db,
-    p=1,
+    xw, yt, tb, apply_affine, apply_relu, has_skip, out_padded, slot_split,
+    db, p=1,
 ):
     Xp, Tpf, Yp, cif = xp.shape
     ci2 = cif // p
     X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * yt
-    Tp = T + 2
+    tl = tb * p                        # logical t rows per grid step
     co2 = weights[0].shape[-1]
     by = Y // yt
+    nb = (Tpf - 2) // tb
     nw = len(weights)
     nbuf = 2 if db else 1
 
     if slot_split:
         shift_shapes = [
-            pltpu.VMEM((xw + 2, Tp, yt, 3 * (ci2 // 2)), xp.dtype)
+            pltpu.VMEM((xw + 2, tl + 2, yt, 3 * (ci2 // 2)), xp.dtype)
             for _ in range(2)
         ]
     else:
         shift_shapes = [
-            pltpu.VMEM((xw + 2, Tp, yt, 3 * ci2), xp.dtype),
-            pltpu.VMEM((xw + 2, Tp - 2, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, tl + 2, yt, 3 * ci2), xp.dtype),
+            pltpu.VMEM((xw + 2, tl, yt, 3 * ci2), xp.dtype),
         ]
     ns = len(shift_shapes)
 
@@ -874,7 +943,7 @@ def _fused_conv_call(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=((X // xw) * by,),
+        grid=((X // xw) * by * nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # xp
             pl.BlockSpec(memory_space=pltpu.ANY),   # mask int8
@@ -885,11 +954,11 @@ def _fused_conv_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, xw + 2, Tpf, 3 * yt, cif), xp.dtype),
-            pltpu.VMEM((nbuf, xw + 2, Tpf, 3 * yt, cif), jnp.int8),
+            pltpu.VMEM((nbuf, xw + 2, tb + 2, 3 * yt, cif), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, tb + 2, 3 * yt, cif), jnp.int8),
             *shift_shapes,
-            pltpu.VMEM((xw, T // p, yt, p * co2), xp.dtype),
-            pltpu.VMEM((xw, T // p, yt, p * co2), xp.dtype),
+            pltpu.VMEM((xw, tb, yt, p * co2), xp.dtype),
+            pltpu.VMEM((xw, tb, yt, p * co2), xp.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
@@ -909,7 +978,7 @@ def _fused_conv_call(
             ids_ref, n_ref, xp_ref, m_ref, w_refs, aff_ref, b_ref, skip_ref,
             out_ref, in_bufs, m_bufs, shift_bufs, skip_buf, out_buf,
             in_sems, m_sems, skip_sem, out_sem,
-            xw=xw, yt=yt, t_out=T, by=by,
+            xw=xw, yt=yt, tb=tb, by=by, nb=nb,
             apply_affine=apply_affine, apply_relu=apply_relu,
             has_skip=has_skip, out_padded=out_padded,
             slot_split=slot_split, db=db, p=p,
@@ -963,6 +1032,20 @@ def stage_mask8(
     X, Z, Y = mask.shape
     c = channels2 // 2
     p = lane_fold(channels2, channels2, Z // 2)
+    if p == 1:
+        # Single-pass build: pad the (tiny, i1) logical mask first, then
+        # one fused iota-select-convert writes the padded int8 volume
+        # directly.  The previous concat(broadcast, broadcast) + convert +
+        # pad chain ran as three separate ~254 MB HBM passes at the s1
+        # shape (profiled at ~15 ms/scan across the three s1 builds).
+        mp = jnp.pad(mask, ((1, 1), (2, 2), (yt, yt + (-Y) % yt)))
+        Xp, Zp, Yp = mp.shape
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (Xp, Zp // 2, Yp, channels2), 3
+        )
+        return jnp.where(
+            lane < c, mp[:, 0::2, :, None], mp[:, 1::2, :, None]
+        ).astype(jnp.int8)
     lo, hi = mask[:, 0::2], mask[:, 1::2]
     m = jnp.concatenate(
         [
@@ -1038,7 +1121,7 @@ def fused_packed_conv(
     t_logical = (xp.shape[1] - 2) * p
     if plan is None:
         plan = conv_plan(2 * ci, 2 * co, t_logical + 2, fused=True)
-    xw, yt, db, slot_split = plan
+    xw, yt, tb, db, slot_split = plan[:5]
     weights = _plan_weights(weight, slot_split, cd)
     if affine is not None:
         aff = jnp.stack(
@@ -1061,7 +1144,7 @@ def fused_packed_conv(
         skip_arr = skip.astype(xp.dtype)
     out = _fused_conv_call(
         xp.astype(cd), mask8, weights, aff, b2, skip_arr, ids, n_active,
-        xw, yt, affine is not None, relu, skip is not None, out_padded,
+        xw, yt, tb, affine is not None, relu, skip is not None, out_padded,
         slot_split, db, p,
     )
     if out_padded or p == 1:
@@ -1085,7 +1168,7 @@ def block_sparse_packed_conv(
     X, T, Y, c2 = x.shape
     cd = compute_dtype or x.dtype
     co = weight.shape[-1]
-    xw, yt, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)
+    xw, yt, tb, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)[:5]
     assert X % xw == 0, (x.shape, xw)
     p = lane_fold(c2, 2 * co, T)
     xm = _mask_slots(x, mask).astype(cd)
@@ -1101,9 +1184,9 @@ def block_sparse_packed_conv(
         if bias is not None
         else jnp.zeros((2 * co,), jnp.float32)
     ).reshape(1, 2 * co)
-    ids, n_active = active_tiles_xy(mask.any(axis=1), xw, yt)
+    ids, n_active = active_tiles(mask, xw, yt, tb, p)
     out = _packed_conv_call(
-        xp, weights, b2, ids, n_active, xw, yt, slot_split, db, p
+        xp, weights, b2, ids, n_active, xw, yt, tb, slot_split, db, p
     )
     return _unfold_t(out, p, 2 * co)[:, :, :Y].astype(x.dtype)
 

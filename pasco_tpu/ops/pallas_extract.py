@@ -222,6 +222,185 @@ def _extract_kernel(
         copy.wait()
 
 
+def _extract_kernel_sepk(
+    ids_ref, r16_ref, n_ref,
+    pay_ref,                  # HBM [n_rows, e2] payload (native lanes)
+    k_ref,                    # HBM [nblk, 2, 128] bf16 keep bits (lo, hi)
+    ut_ref,                   # VMEM [128, 128] strict upper triangular
+    out_ref,                  # HBM [cap16, 16, lout]
+    in_buf,                   # VMEM [2, BLOCK_ROWS, e2]
+    k_buf,                    # VMEM [2, 1, 2, 128]
+    out_buf,                  # VMEM [BLOCK_CELLS//16, 16, lout]
+    in_sems, k_sems, out_sem,
+    *,
+    e2: int,
+    lout: int,
+):
+    """Separate-keep variant: the keep bits arrive as a tiny side array
+    instead of extra payload lanes, so 128-aligned payloads (the s1/s2
+    feature volumes) are DMAed straight from the chain buffers — the
+    [payload | keep] lane-concat this replaces was a ~1 GB HBM pass per
+    scale-1 extraction.  Ranks are computed in ROW form (keep bits on
+    lanes): the exclusive prefix is one strict-UT dot on the right, and
+    the per-sublane bit columns (payload NaN-masking needs them) come
+    from a diagonal mask + lane reduction — a cheap in-VMEM transpose."""
+    g = pl.program_id(0)
+    n_act = n_ref[0]
+
+    def in_dma(slot, idx):
+        return pltpu.make_async_copy(
+            pay_ref.at[pl.ds(ids_ref[idx] * BLOCK_ROWS, BLOCK_ROWS)],
+            in_buf.at[slot],
+            in_sems.at[slot],
+        )
+
+    def k_dma(slot, idx):
+        return pltpu.make_async_copy(
+            k_ref.at[pl.ds(ids_ref[idx], 1)],
+            k_buf.at[slot],
+            k_sems.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        @pl.when(n_act > 0)
+        def _():
+            in_dma(0, 0).start()
+            k_dma(0, 0).start()
+
+    @pl.when(g < n_act)
+    def _():
+        slot = jax.lax.rem(g, 2)
+        in_dma(slot, g).wait()
+        k_dma(slot, g).wait()
+
+        @pl.when(g + 1 < n_act)
+        def _():
+            in_dma(1 - slot, g + 1).start()
+            k_dma(1 - slot, g + 1).start()
+
+        blk = in_buf[slot]                       # [128, e2]
+        kr = k_buf[slot][0]                      # [2, 128]
+        e = e2 // 2
+        f32 = jnp.float32
+        klo = (kr[0:1].astype(f32) > 0).astype(f32)     # [1, 128]
+        khi = (kr[1:2].astype(f32) > 0).astype(f32)
+        rown = (klo + khi).astype(jnp.bfloat16)
+        # exclusive prefix over source rows (rows live on LANES here)
+        pref = jnp.dot(
+            rown, ut_ref[...], preferred_element_type=f32
+        )                                        # [1, 128]
+        rank_lo = pref
+        rank_hi = pref + klo
+        o = jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_CELLS, BLOCK_ROWS), 0
+        ).astype(f32)
+        oh_lo = jnp.where(
+            (o == rank_lo) & (klo > 0), 1.0, 0.0
+        ).astype(jnp.bfloat16)
+        oh_hi = jnp.where(
+            (o == rank_hi) & (khi > 0), 1.0, 0.0
+        ).astype(jnp.bfloat16)
+        # bit COLUMNS (sublane-form) for NaN-masking the payload halves:
+        # diagonal select + lane reduce == transpose of the [1, 128] rows.
+        ii = jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_ROWS, BLOCK_ROWS), 0
+        )
+        jj = jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_ROWS, BLOCK_ROWS), 1
+        )
+        diag = ii == jj
+        bcol_lo = jnp.sum(
+            jnp.where(diag, jnp.broadcast_to(klo, diag.shape), 0.0),
+            axis=1, keepdims=True,
+        )
+        bcol_hi = jnp.sum(
+            jnp.where(diag, jnp.broadcast_to(khi, diag.shape), 0.0),
+            axis=1, keepdims=True,
+        )
+        r_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_ROWS, 1), 0
+        ).astype(jnp.bfloat16)
+        ones = jnp.ones((BLOCK_ROWS, 1), jnp.bfloat16)
+        zeros = jnp.zeros((BLOCK_ROWS, 1), jnp.bfloat16)
+        blk_lo = jnp.concatenate(
+            [jnp.where(bcol_lo > 0, blk[:, :e], 0), r_iota, ones, zeros],
+            axis=-1,
+        )
+        blk_hi = jnp.concatenate(
+            [jnp.where(bcol_hi > 0, blk[:, e:e2], 0), r_iota, zeros, ones],
+            axis=-1,
+        )
+        t = jnp.dot(
+            oh_lo, blk_lo, preferred_element_type=f32
+        ) + jnp.dot(oh_hi, blk_hi, preferred_element_type=f32)
+        out_buf[...] = (
+            jnp.pad(t, ((0, 0), (0, lout - (e + 3))))
+            .astype(out_buf.dtype)
+            .reshape(BLOCK_CELLS // 16, 16, lout)
+        )
+        copy = pltpu.make_async_copy(
+            out_buf,
+            out_ref.at[pl.ds(r16_ref[g] // 16, BLOCK_CELLS // 16)],
+            out_sem,
+        )
+        copy.start()
+        copy.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("e2", "capacity"))
+def _extract_call_sepk(payload, krows, block_ids, r16, n_active, e2,
+                       capacity):
+    """Separate-keep dispatch: ``payload`` [n_rows, e2] with e2 % 128 == 0
+    (DMAed at native lanes), ``krows`` [nblk, 2, 128] bf16 keep bits."""
+    nblk = block_ids.shape[0]
+    e = e2 // 2
+    lout = _pad128(e + 3)
+    cap_pad = -(-(capacity + BLOCK_CELLS) // _PAD16) * _PAD16
+    cap16 = cap_pad // _PAD16
+    iu = jnp.triu(jnp.ones((BLOCK_ROWS, BLOCK_ROWS), jnp.bfloat16), 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # payload
+            pl.BlockSpec(memory_space=pltpu.ANY),    # keep rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # UT constant
+            pl.BlockSpec(memory_space=pltpu.ANY),    # donated zero output
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK_ROWS, e2), payload.dtype),
+            pltpu.VMEM((2, 1, 2, 128), krows.dtype),
+            pltpu.VMEM((BLOCK_CELLS // 16, 16, lout), payload.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(ids_ref, r16_ref, n_ref, pay_ref, k_ref, ut_ref, out_in_ref,
+               out_ref, in_buf, k_buf, out_buf, in_sems, k_sems, out_sem):
+        del out_in_ref
+        _extract_kernel_sepk(
+            ids_ref, r16_ref, n_ref, pay_ref, k_ref, ut_ref, out_ref,
+            in_buf, k_buf, out_buf, in_sems, k_sems, out_sem,
+            e2=e2, lout=lout,
+        )
+
+    out0 = jnp.zeros((cap16, _PAD16, lout), payload.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        # operand order: ids, r16, n_active, payload, krows, ut, out0
+        input_output_aliases={6: 0},
+        out_shape=jax.ShapeDtypeStruct((cap16, _PAD16, lout), payload.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(block_ids, r16, n_active, payload, krows, iu, out0)
+    return out.reshape(cap_pad, lout)
+
+
 @functools.partial(jax.jit, static_argnames=("e2", "capacity"))
 def _extract_call(payload, block_ids, r16, n_active, e2, capacity):
     n_rows, L = payload.shape
@@ -288,32 +467,50 @@ def stream_extract_z2(
     Z = 2 * T
     n_rows = X * T * Y
     block_ids, r16, n_active, blk_of_row = extract_plan(keep, capacity)
-    lo = keep[:, 0::2].reshape(n_rows, 1)
-    hi = keep[:, 1::2].reshape(n_rows, 1)
-    # Mosaic requires every memref slice's lane dim to be a multiple of
-    # the 128-lane tile (HBM DMA slices AND the [2, 128, L] VMEM scratch's
-    # slot slice), so the payload+keep lanes are zero-padded to 128 here.
-    # The padded bytes are physically present in the (8, 128)-tiled layout
-    # either way, so the DMA moves no extra HBM traffic.
-    lane_pad = _pad128(e2 + 2) - (e2 + 2)
-    pay = jnp.concatenate(
-        [
-            payload.reshape(n_rows, e2),
-            lo.astype(payload.dtype),
-            hi.astype(payload.dtype),
-        ]
-        + (
-            [jnp.zeros((n_rows, lane_pad), payload.dtype)]
-            if lane_pad
-            else []
-        ),
-        axis=-1,
-    )
     nblk = block_ids.shape[0]
-    pad = nblk * BLOCK_ROWS - n_rows
-    if pad:
-        pay = jnp.pad(pay, ((0, pad), (0, 0)))
-    out = _extract_call(pay, block_ids, r16, n_active, e2, capacity)
+    if e2 % 128 == 0 and n_rows == nblk * BLOCK_ROWS:
+        # 128-aligned payloads DMA straight from the volume; the keep
+        # bits ride a tiny [nblk, 2, 128] side array instead of two extra
+        # payload lanes (the lane-concat below is a ~1 GB HBM pass at the
+        # scale-1 feature extraction).
+        krows = jnp.stack(
+            [
+                keep[:, 0::2].reshape(nblk, BLOCK_ROWS),
+                keep[:, 1::2].reshape(nblk, BLOCK_ROWS),
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)
+        out = _extract_call_sepk(
+            payload.reshape(n_rows, e2), krows, block_ids, r16, n_active,
+            e2, capacity,
+        )
+    else:
+        lo = keep[:, 0::2].reshape(n_rows, 1)
+        hi = keep[:, 1::2].reshape(n_rows, 1)
+        # Mosaic requires every memref slice's lane dim to be a multiple
+        # of the 128-lane tile (HBM DMA slices AND the [2, 128, L] VMEM
+        # scratch's slot slice), so the payload+keep lanes are zero-padded
+        # to 128 here.  The padded bytes are physically present in the
+        # (8, 128)-tiled layout either way, so the DMA moves no extra HBM
+        # traffic.
+        lane_pad = _pad128(e2 + 2) - (e2 + 2)
+        pay = jnp.concatenate(
+            [
+                payload.reshape(n_rows, e2),
+                lo.astype(payload.dtype),
+                hi.astype(payload.dtype),
+            ]
+            + (
+                [jnp.zeros((n_rows, lane_pad), payload.dtype)]
+                if lane_pad
+                else []
+            ),
+            axis=-1,
+        )
+        pad = nblk * BLOCK_ROWS - n_rows
+        if pad:
+            pay = jnp.pad(pay, ((0, pad), (0, 0)))
+        out = _extract_call(pay, block_ids, r16, n_active, e2, capacity)
     out = out[:capacity]
     # lanes: [E vals | local row | is_lo | is_hi] (+ tile padding)
     vals = out[:, :e]

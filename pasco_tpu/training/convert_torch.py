@@ -154,7 +154,8 @@ class _Converter:
         self.put(self.params, path + ("kernel",), kernel)
         bias = self.maybe(f"{ref}.bias")
         if bias is not None:
-            self.put(self.params, path + ("bias",), bias)
+            # ME conv biases are stored [1, out]; ours are [out].
+            self.put(self.params, path + ("bias",), np.asarray(bias).reshape(-1))
         elif want_bias:
             self.put(
                 self.params, path + ("bias",), np.zeros(kernel.shape[-1], np.float32)
@@ -397,7 +398,9 @@ def reference_state_dict_spec(
     def me_conv(prefix, din, dout, ks, bias=False):
         spec[f"{prefix}.kernel"] = (din, dout) if ks == 1 else (ks**3, din, dout)
         if bias:
-            spec[f"{prefix}.bias"] = (dout,)
+            # ME stores conv biases [1, out] (MinkowskiConvolutionBase);
+            # the converter flattens.
+            spec[f"{prefix}.bias"] = (1, dout)
 
     def res_block(prefix, ch):
         bn(f"{prefix}.net.0", ch)

@@ -272,16 +272,19 @@ def test_conv_plan_ladder():
     from pasco_tpu.ops.pallas_conv import conv_plan
 
     # tiny channels: dense form, full tile, double-buffered
-    assert conv_plan(8, 8, 6, True) == (8, 16, True, False)
+    assert conv_plan(8, 8, 6, True) == (8, 16, 4, True, False, 1)
     # s1 flagship (64-ch slots): dense form (lane padding makes the
-    # split a wash), full tile
-    xw, yt, db, ss = conv_plan(128, 128, 18, True)
-    assert (xw, yt, ss) == (8, 16, False) and db
-    # s2 (128-ch slots): slot-split available
-    assert conv_plan(256, 256, 10, True)[3] is True
+    # split a wash), full tile, t-banded (t_out=16 -> tb=4)
+    xw, yt, tb, db, ss, p = conv_plan(128, 128, 18, True)
+    assert (xw, yt, tb, ss) == (8, 16, 4, False) and db
+    # s2 (128-ch slots): slot-split available, banded (t_out=8 -> tb=4)
+    assert conv_plan(256, 256, 10, True)[2] == 4
+    assert conv_plan(256, 256, 10, True)[4] is True
+    # lane-fold factor rides the plan (active_tiles needs it)
+    assert conv_plan(32, 32, 18, True)[5] == 4
     # s4 (256-ch slots): slot-split + a reduced plan that fits the 16 MB
     # scoped-VMEM limit (the dense-form weight alone is 14.2 MB there)
-    xw, yt, db, ss = conv_plan(512, 512, 6, True)
+    xw, yt, tb, db, ss, p = conv_plan(512, 512, 6, True)
     assert ss is True and xw == 4
 
 
@@ -319,7 +322,7 @@ def test_fused_packed_conv_slot_split_matches_xla():
     """Fused chain at Ci=Co=128 (slot-split formulation) == XLA math."""
     from pasco_tpu.ops.dense_ops import conv3_packed_z2
     from pasco_tpu.ops.pallas_conv import (
-        active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
+        active_tiles, conv_plan, fused_packed_conv, pad_stage,
         stage_mask8, unpad_stage)
 
     r = np.random.RandomState(12)
@@ -335,7 +338,7 @@ def test_fused_packed_conv_slot_split_matches_xla():
     c = jnp.asarray(r.randn(2 * C).astype(np.float32) * 0.1)
 
     plan = conv_plan(2 * C, 2 * C, T + 2, fused=True)
-    assert plan[3] is True
+    assert plan[4] is True
 
     lo, hi = mask[:, 0::2], mask[:, 1::2]
 
@@ -349,7 +352,7 @@ def test_fused_packed_conv_slot_split_matches_xla():
 
     with _interpret():
         m8 = stage_mask8(mask, 2 * C)
-        ids, n = active_tiles_xy(mask.any(axis=1), plan[0], plan[1])
+        ids, n = active_tiles(mask, plan[0], plan[1], plan[2], plan[5])
         got = fused_packed_conv(
             pad_stage(x), w, m8, ids, n, affine=(a, c), relu=True,
             bias=b, out_padded=False, plan=plan,
@@ -368,7 +371,7 @@ def test_fused_packed_conv_y_tile_rounding():
     the XLA oracle on the logical extent."""
     from pasco_tpu.ops.dense_ops import conv3_packed_z2
     from pasco_tpu.ops.pallas_conv import (
-        active_tiles_xy, conv_plan, fused_packed_conv, pad_stage,
+        active_tiles, conv_plan, fused_packed_conv, pad_stage,
         stage_mask8, unpad_stage)
 
     r = np.random.RandomState(21)
@@ -393,7 +396,7 @@ def test_fused_packed_conv_y_tile_rounding():
 
     with _interpret():
         m8 = stage_mask8(mask, 2 * C)
-        ids, n = active_tiles_xy(mask.any(axis=1), plan[0], plan[1])
+        ids, n = active_tiles(mask, plan[0], plan[1], plan[2], plan[5])
         xp = pad_stage(x)
         assert xp.shape[2] % plan[1] == 0
         got_pad = fused_packed_conv(
@@ -436,7 +439,7 @@ def test_fused_packed_conv_lane_fold_matches_xla():
     lane-fold p = 4 z-pair rows into the 128-lane tile (lane_fold)."""
     from pasco_tpu.ops.dense_ops import conv3_packed_z2
     from pasco_tpu.ops.pallas_conv import (
-        active_tiles_xy, block_sparse_packed_conv, conv_plan,
+        active_tiles, block_sparse_packed_conv, conv_plan,
         fused_packed_conv, lane_fold, pad_stage, stage_mask8)
 
     r = np.random.RandomState(9)
@@ -476,7 +479,7 @@ def test_fused_packed_conv_lane_fold_matches_xla():
     with _interpret():
         m8 = stage_mask8(mask, 2 * C)
         assert m8.shape[-1] == 128 and m8.shape[1] == T // 4 + 2
-        ids, n = active_tiles_xy(mask.any(axis=1), plan[0], plan[1])
+        ids, n = active_tiles(mask, plan[0], plan[1], plan[2], plan[5])
         xp = pad_stage(x)
         assert xp.shape[-1] == 128 and xp.shape[1] == T // 4 + 2
         o1 = fused_packed_conv(
@@ -502,3 +505,67 @@ def test_fused_packed_conv_lane_fold_matches_xla():
     bs_ref = np.asarray(conv3_packed_z2(mask_mul(x), w1, b1))
     db = np.abs(np.asarray(bs) - bs_ref).max(axis=-1)
     assert db[sel].max() < 1e-3, db[sel].max()
+
+
+def test_packed_conv_t_banded_grid():
+    """nb > 1 (t-banded grid): Z=16 at p=1 gives 2 bands per xy tile.
+    Occupancy crosses the band boundary (halo rows) and leaves some
+    (tile, band) blocks empty; outputs must match XLA at mask-true
+    cells, and the non-fused kernel must return exact zeros at inactive
+    blocks."""
+    from pasco_tpu.ops.dense_ops import conv3_packed_z2, pack_z2
+    from pasco_tpu.ops.pallas_conv import (
+        active_tiles, block_sparse_packed_conv, conv_plan,
+        fused_packed_conv, pad_stage, stage_mask8)
+
+    r = np.random.RandomState(31)
+    X, Z, Y, C = 16, 16, 32, 64
+    T = Z // 2
+    plan = conv_plan(2 * C, 2 * C, T + 2, fused=True)
+    xw, yt, tb, _, _, p = plan
+    assert p == 1 and tb == 4 and T // tb == 2   # two bands
+    mask_np = np.zeros((X, Z, Y), bool)
+    # ground band + sparse structure above, crossing z=8 (band boundary)
+    mask_np[:8, 0:3] = r.rand(8, 3, Y) > 0.3
+    mask_np[:8, 7:10, 5:9] = r.rand(8, 3, 4) > 0.3
+    mask_np[8:, :] = False                       # dead tiles
+    mask = jnp.asarray(mask_np)
+    x = jnp.asarray(r.randn(X, T, Y, 2 * C).astype(np.float32) * 0.3)
+    w = jnp.asarray(r.randn(27, C, C).astype(np.float32) * 0.05)
+    b = jnp.asarray(r.randn(C).astype(np.float32) * 0.1)
+    a = jnp.asarray((np.abs(r.randn(2 * C)) + 0.5).astype(np.float32))
+    c = jnp.asarray(r.randn(2 * C).astype(np.float32) * 0.1)
+
+    lo, hi = mask[:, 0::2], mask[:, 1::2]
+
+    def msel(v):
+        cc = v.shape[-1] // 2
+        return jnp.concatenate(
+            [jnp.where(lo[..., None], v[..., :cc], 0),
+             jnp.where(hi[..., None], v[..., cc:], 0)], -1)
+
+    ref_f = conv3_packed_z2(msel(jnp.maximum(x * a + c, 0)), w, b)
+    ref_b = conv3_packed_z2(msel(x), w, b)
+
+    with _interpret():
+        ids, n = active_tiles(mask, xw, yt, tb, p)
+        m8 = stage_mask8(mask, 2 * C)
+        got_f = fused_packed_conv(
+            pad_stage(x), w, m8, ids, n, affine=(a, c), relu=True,
+            bias=b, out_padded=False, plan=plan,
+        )
+        got_b = block_sparse_packed_conv(msel(x), w, mask, bias=b)
+
+    # expected active blocks: band of 4 t rows (8 z) per (8, 16) xy tile
+    blk = mask_np.reshape(X // xw, xw, 2, 8, Y // yt, yt).any((1, 3, 5))
+    act = np.repeat(np.repeat(np.repeat(
+        blk, xw, 0), 4, 1), yt, 2)               # [X, T, Y]
+    assert 0 < blk.sum() < blk.size              # genuinely banded
+    mvalid = np.asarray(msel(jnp.ones((X, T, Y, 2 * C)))) > 0
+    for got, ref in ((got_f, ref_f), (got_b, ref_b)):
+        d = np.abs(np.asarray(got) - np.asarray(ref))
+        assert d[mvalid].max() < 2e-3, d[mvalid].max()
+    # non-fused kernel: exact zeros at inactive (tile, band) blocks
+    gb = np.asarray(got_b)
+    assert np.all(gb[~act] == 0)
+    assert np.abs(gb[act]).max() > 0

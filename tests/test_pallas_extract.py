@@ -160,3 +160,54 @@ def test_extract_sparse_z2_stream_equivalence():
     occ1, d1 = dense_map(g1, e1)
     np.testing.assert_array_equal(occ0, occ1)
     np.testing.assert_array_equal(d0, d1)
+
+
+@pytest.mark.parametrize("seed,density", [(3, 0.2), (4, 0.7)])
+def test_stream_extract_separate_keep_path(seed, density):
+    """128-aligned payloads route through the separate-keep kernel (no
+    [payload | keep] lane concat); must match the NumPy reference and
+    carry NaN garbage at non-kept cells without contaminating outputs."""
+    r = np.random.RandomState(seed)
+    X, Z, Y = 8, 8, 128
+    T = Z // 2
+    e = 64                                   # e2 = 128: aligned path
+    keep = r.rand(X, Z, Y) < density
+    payload = r.randn(X, T, Y, 2 * e).astype(np.float32)
+    # garbage (incl. NaN) at non-kept cells: the chain buffers are
+    # uninitialised outside active blocks, and the kernel must mask
+    # before its dots (0 * NaN = NaN otherwise).
+    klo = keep[:, 0::2]
+    khi = keep[:, 1::2]
+    payload[..., :e][~klo] = np.nan
+    payload[..., e:][~khi] = np.nan
+    pay = jnp.asarray(payload).astype(jnp.bfloat16)
+    cap = 2048
+
+    with interp():
+        vals, src, valid, total = jax.jit(
+            stream_extract_z2, static_argnums=1
+        )(jnp.asarray(keep), cap, pay)
+
+    vals = np.asarray(vals.astype(jnp.float32))
+    src = np.asarray(src)
+    valid = np.asarray(valid)
+    assert int(total) == int(keep.sum())
+    ref_pay = np.where(
+        np.concatenate(
+            [np.repeat(klo[..., None], e, -1), np.repeat(khi[..., None], e, -1)],
+            -1,
+        ),
+        np.asarray(pay.astype(jnp.float32)), 0.0,
+    )
+    exp = ref_blocked(keep, ref_pay, cap)
+    got_idx = set(np.nonzero(valid)[0].tolist())
+    assert got_idx == set(exp.keys())
+    for j, (p, s, row) in exp.items():
+        sy = p % Y
+        st = (p // Y) % T
+        sx = p // (Y * T)
+        flat = (sx * Z + 2 * st + s) * Y + sy
+        assert src[j] == flat, (j, src[j], flat)
+        np.testing.assert_allclose(vals[j, :e], row, rtol=0, atol=0)
+    assert np.all(np.isfinite(vals))
+    assert np.all(vals[~valid] == 0)
