@@ -238,6 +238,8 @@ def convert_reference_checkpoint(
         if up_bias is None:
             up_bias = np.zeros(up_kernel.shape[-1], np.float32)
             c.zero_filled.append(f"{ours}/up_bias")
+        else:
+            up_bias = np.asarray(up_bias).reshape(-1)  # ME stores [1, out]
         c.put(c.params, (ours, "up_bias"), up_bias)
         c.bn((ours, "up_bn"), f"{blk}.upsample.net.1")
         c.bn((ours, "resize_bn"), f"{blk}.resize.0")
@@ -248,7 +250,8 @@ def convert_reference_checkpoint(
         for j in range(S):
             head = f"{blk}.completion_heads.{j}.0"
             heads_w.append(convert_me_conv_kernel(c.take(f"{head}.kernel"), 1)[0])
-            heads_b.append(c.take(f"{head}.bias"))
+            # ME conv biases are stored [1, out] (MinkowskiConvolutionBase).
+            heads_b.append(np.asarray(c.take(f"{head}.bias")).reshape(-1))
         c.put(c.params, (ours, "head_kernel"), np.stack(heads_w))
         c.put(c.params, (ours, "head_bias"), np.stack(heads_b))
 
@@ -272,7 +275,9 @@ def convert_reference_checkpoint(
             stacked["conv2.kernel"].append(
                 convert_me_conv_kernel(c.take(f"{vf}.3.kernel"), 3)
             )
-            stacked["conv2.bias"].append(c.take(f"{vf}.3.bias"))
+            stacked["conv2.bias"].append(
+                np.asarray(c.take(f"{vf}.3.bias")).reshape(-1)
+            )
         base = ("voxel_feats_s%d" % scale,)
         c.put(c.params, base + ("conv1", "kernel"), np.stack(stacked["conv1.kernel"]))
         c.put(c.params, base + ("bn", "scale"), np.stack(stacked["bn.scale"]))

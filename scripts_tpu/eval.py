@@ -21,7 +21,14 @@ def main():
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--dataset_preprocess_root", default="")
     p.add_argument("--instance_label_root", default="")
-    p.add_argument("--model_path", required=True, help="checkpoint dir")
+    p.add_argument("--model_path", default="", help="Orbax checkpoint dir")
+    p.add_argument(
+        "--torch_ckpt",
+        default="",
+        help="released reference .ckpt (e.g. pasco_single.ckpt, reference "
+        "README.md:369-374): converted on the fly with "
+        "training/convert_torch.py — convert->eval->tables in one command",
+    )
     p.add_argument("--n_infers", type=int, default=1)
     p.add_argument("--split", default="val")
     p.add_argument("--limit_batches", type=int, default=None)
@@ -34,6 +41,8 @@ def main():
         "smoke tests (tests/test_eval_script.py) and CPU debugging",
     )
     args = p.parse_args()
+    if not (args.model_path or args.torch_ckpt):
+        p.error("one of --model_path / --torch_ckpt is required")
 
     import jax
     import numpy as np
@@ -98,14 +107,40 @@ def main():
         )
     net = build_net(cfg)
     lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
-    state, _ = tstep.create_train_state(
-        net, cfg, tstep.scene_to_model_input(first), lw, jax.random.PRNGKey(0)
-    )
-    ckpt = CheckpointManager(args.model_path, None)
-    restored = ckpt.restore(state)
-    if restored is not None:
-        state = restored
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.torch_ckpt:
+        import jax.numpy as jnp
+
+        from pasco_tpu.training.convert_torch import (
+            convert_reference_checkpoint,
+            load_reference_ckpt,
+        )
+
+        sd = load_reference_ckpt(args.torch_ckpt)
+        params, stats, unmatched = convert_reference_checkpoint(
+            sd, args.n_infers
+        )
+        if unmatched:
+            print(
+                f"warning: {len(unmatched)} unconverted reference keys "
+                f"(first 5: {unmatched[:5]})",
+                file=sys.stderr,
+            )
+        variables = {
+            "params": jax.tree_util.tree_map(jnp.asarray, params),
+            "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats),
+        }
+    else:
+        state, _ = tstep.create_train_state(
+            net, cfg, tstep.scene_to_model_input(first), lw,
+            jax.random.PRNGKey(0),
+        )
+        ckpt = CheckpointManager(args.model_path, None)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+        variables = {
+            "params": state.params, "batch_stats": state.batch_stats,
+        }
 
     # Scene-adaptive working box: each scan dispatches to the
     # smallest pre-compiled box program covering its bbox

@@ -108,3 +108,56 @@ def test_eval_cli_smoke(tmp_path, capsys, monkeypatch):
     assert "ins ECE" in out and "ssc ECE ne" in out
     assert "inference time:" in out and "ensemble time:" in out
     assert "subnet 0" in out
+
+
+def test_eval_cli_torch_ckpt(tmp_path, capsys, monkeypatch):
+    """One-command released-checkpoint path: ``--torch_ckpt`` converts a
+    Lightning ``.ckpt`` on the fly (training/convert_torch.py) and runs the
+    same eval.  Stand-in ckpt: the synthetic reference state dict saved in
+    the released format ({"state_dict": tensors}, reference
+    README.md:369-374)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from pasco_tpu.core.config import tiny_config
+    from pasco_tpu.training.convert_torch import synthetic_reference_state_dict
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _write_fake_val_scan(root)
+
+    m = tiny_config(n_infers=1).model
+    sd = synthetic_reference_state_dict(
+        np.random.RandomState(3),
+        n_infers=1,
+        f=m.f,
+        n_classes=m.n_classes,
+        in_channels=m.in_channels,
+        hidden_dim=m.transformer.hidden_dim,
+        num_queries=m.transformer.num_queries,
+        dim_feedforward=m.transformer.dim_feedforward,
+    )
+    ckpt_path = str(tmp_path / "pasco_single.ckpt")
+    torch.save(
+        {"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+        ckpt_path,
+    )
+
+    main = _load_eval_main()
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "eval.py",
+            "--dataset_root", root,
+            "--torch_ckpt", ckpt_path,
+            "--n_infers", "1",
+            "--limit_batches", "1",
+            "--config", "tiny",
+        ],
+    )
+    main()
+    out = capsys.readouterr().out
+    assert "mIoU" in out and "PQ" in out
+    assert "inference time:" in out
