@@ -86,6 +86,25 @@ def zfold_conv3d(
     b, X, Y, Z, c = x.shape
     kx, ky, kz, _, d = w.shape
     cd = compute_dtype or x.dtype
+    if kz == 1:
+        # No z mixing: the folded [Z*c, Z*d] weight would be block-diagonal
+        # (4x dead FLOPs at Z=4).  Run z as extra rows of a [*, c] @ [c, d]
+        # dot per xy tap instead.
+        xp = jnp.pad(
+            x.astype(cd),
+            ((0, 0), (kx // 2, kx // 2), (ky // 2, ky // 2), (0, 0), (0, 0)),
+        )
+        wk = w.astype(cd)
+        acc = jnp.zeros((b * X * Y * Z, d), jnp.float32)
+        for i in range(kx):
+            for j in range(ky):
+                sl = jax.lax.slice(
+                    xp, (0, i, j, 0, 0), (b, i + X, j + Y, Z, c)
+                ).reshape(b * X * Y * Z, c)
+                acc += jnp.dot(
+                    sl, wk[i, j, 0], preferred_element_type=jnp.float32
+                )
+        return acc.reshape(b, X, Y, Z, d).astype(x.dtype)
     xf = x.reshape(b, X, Y, Z * c).astype(cd)
     # Banded block expansion as ONE einsum against a constant one-hot
     # [kz, Z, Z] tensor (band[dz, zi, zo] = 1 iff dz == zi - zo + kz//2).
@@ -106,18 +125,24 @@ def zfold_conv3d(
     w2 = jnp.einsum(
         "xyzcd,zio->xyicod", w.astype(cd), jnp.asarray(band, cd)
     ).reshape(kx, ky, Z * c, Z * d)
-    # No preferred_element_type: the TPU conv accumulates in f32 internally
-    # regardless, and a f32-out conv with bf16 operands breaks the conv VJP
-    # (its transposed conv rejects mixed dtypes).  Output rounds once to
-    # ``cd`` — same precision as the tap-scan form's final astype.
-    out = jax.lax.conv_general_dilated(
-        xf,
-        w2.astype(cd),
-        (1, 1),
-        "SAME",
-        dimension_numbers=("NXYC", "XYIO", "NXYC"),
+    # Native conv_general ran these 1024-channel 44x44 shapes at ~34 TFLOP/s
+    # (r3_conv 5.84 ms in the round-4 trace).  kx*ky unrolled shifted
+    # [X*Y, Z*c] @ [Z*c, Z*d] dots keep the MXU fed instead; f32
+    # accumulation across taps matches the conv's internal accumulator.
+    # (The conv VJP caveat is moot: dot_general takes preferred_element_type
+    # in both forward and transpose.)
+    xp = jnp.pad(
+        xf, ((0, 0), (kx // 2, kx // 2), (ky // 2, ky // 2), (0, 0))
     )
-    return out.reshape(b, X, Y, Z, d).astype(x.dtype)
+    w2 = w2.astype(cd)
+    acc = jnp.zeros((b * X * Y, Z * d), jnp.float32)
+    for i in range(kx):
+        for j in range(ky):
+            sl = jax.lax.slice(
+                xp, (0, i, j, 0), (b, i + X, j + Y, Z * c)
+            ).reshape(b * X * Y, Z * c)
+            acc += jnp.dot(sl, w2[i, j], preferred_element_type=jnp.float32)
+    return acc.reshape(b, X, Y, Z, d).astype(x.dtype)
 
 
 class _Conv3d(nn.Module):
