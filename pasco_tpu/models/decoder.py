@@ -14,8 +14,11 @@ Key TPU-first differences from the reference:
 * The training-time ``torch.multinomial(occ_prob, k)`` weighted sample
   without replacement is realised as Gumbel-top-k over ``log(occ_prob)`` —
   the standard equivalence — so it stays inside ``jit``.
-* U-Net skips are feature lookups at the generated coordinates instead of
-  MinkowskiEngine's coordinate-manager union-add (``decoder_v3.py:163``).
+* U-Net skips are feature lookups at the generated coordinates, plus an
+  explicit append of the skip cells the generation pruned away — together
+  exactly MinkowskiEngine's coordinate-manager union-add
+  (``decoder_v3.py:163``): a scan-occupied cell whose parents were all
+  pruned still enters the residual stack carrying the shortcut features.
 * The per-subnet mask/refine path (``predict_panop``,
   ``decoder_v3.py:396-451``) produces a batched per-subnet grid (leading
   subnet axis) processed by one lifted-vmap module with per-subnet weights,
@@ -34,7 +37,9 @@ from pasco_tpu.core.config import CapacityConfig, ModelConfig
 from pasco_tpu.core.sparse import (
     Box,
     SparseGrid,
+    build_dense_table,
     compact,
+    lookup_dense_table,
     prune_outside_box,
     top_k_compact,
 )
@@ -46,6 +51,44 @@ from pasco_tpu.models.blocks import (
 )
 from pasco_tpu.models.norm import MaskedBatchNorm
 from pasco_tpu.ops.sparse_conv import Rulebook, build_rulebook, lookup_features
+
+
+def union_skip(g: SparseGrid, skip: SparseGrid, box: Box) -> SparseGrid:
+    """Append ``skip`` cells absent from ``g`` into ``g``'s free rows.
+
+    With the preceding per-cell skip-feature add this realises ME's
+    union-add ``dec + shortcut`` (``decoder_v3.py:163``): appended rows
+    carry the shortcut features alone (the dec side has no row there).
+    Surplus cells beyond ``g``'s free capacity are dropped (the same
+    static-capacity contract as every other cap in this decoder).
+    """
+    table = build_dense_table(g.coords, g.mask, box, g.stride)
+    _, found = lookup_dense_table(table, skip.coords, skip.mask, box, g.stride)
+    extra = skip.mask & ~found
+    cap = g.capacity
+    free = ~g.mask
+    n_free = jnp.sum(free.astype(jnp.int32))
+    # rank r free slot <- rank r extra row (prefix-sum pairing)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = (
+        jnp.zeros((cap,), jnp.int32)
+        .at[jnp.where(free, free_rank, cap)]
+        .set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    )
+    extra_rank = jnp.cumsum(extra.astype(jnp.int32)) - 1
+    dest = jnp.where(
+        extra & (extra_rank < n_free),
+        slot_of_rank[jnp.clip(extra_rank, 0, cap - 1)],
+        cap,
+    )
+    return SparseGrid(
+        coords=g.coords.at[dest].set(skip.coords, mode="drop"),
+        feats=g.feats.at[dest].set(
+            skip.feats.astype(g.feats.dtype), mode="drop"
+        ),
+        mask=g.mask.at[dest].set(True, mode="drop"),
+        stride=g.stride,
+    )
 
 
 class DecoderOutput(NamedTuple):
@@ -117,6 +160,7 @@ class DecoderBlock(nn.Module):
 
         skip_f, _ = lookup_features(skip, g.coords, g.mask, box)
         g = g.with_feats(g.feats + skip_f.astype(g.feats.dtype))
+        g = union_skip(g, skip, box)
 
         rb = build_rulebook(g.coords, g.mask, box, g.stride, 3)
         for i in range(self.num_res_blocks):

@@ -678,8 +678,8 @@ class DenseDecoderStage(nn.Module):
     #                            (reference decoder_v3.py:116, heavy branch)
 
     @nn.compact
-    def __call__(self, x, parent_keep, skip, box, gmin, gmax, train,
-                 drop_on=False):
+    def __call__(self, x, parent_keep, skip, skip_mask, box, gmin, gmax,
+                 train, drop_on=False):
         cd = self.compute_dtype
         ch = self.out_channels
         pk = self.out_packed
@@ -707,9 +707,15 @@ class DenseDecoderStage(nn.Module):
             and lane_fold(2 * ch, 2 * ch, 2 * x.shape[1]) == 1
         )
         xm = _mm(x, parent_keep, self.in_packed)
-        msk_early = upsample2_mask(parent_keep) & bbox_mask(
+        # Stage domain is the UNION of generated children (pruned to the
+        # global bbox) and the encoder skip's coordinate set: ME's
+        # ``dec + shortcut`` adds features on the union coordinate map
+        # (decoder_v3.py:163 — a skip cell whose parents were all pruned
+        # still enters ``process`` carrying the shortcut features alone).
+        msk_child = upsample2_mask(parent_keep) & bbox_mask(
             box, self.scale, gmin, gmax, ORDER
         )
+        msk_early = msk_child | skip_mask
         if fused_up:
             from pasco_tpu.ops.pallas_conv import (
                 active_tiles, conv_plan, stage_mask8, unpad_stage)
@@ -731,6 +737,7 @@ class DenseDecoderStage(nn.Module):
             xpad = up_preamble_padded(
                 xm, skip, jnp.any(msk, axis=1), box.minimum, self.scale,
                 wd, bd, (a1, c1), (a2, c2), wr[0], br,
+                child_m8=stage_mask8(msk_child, 2 * ch),
                 compute_dtype=cd or xm.dtype,
             )
             plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True)
@@ -758,12 +765,17 @@ class DenseDecoderStage(nn.Module):
         # internally) and pointwise ops touch x, and res0's convs mask
         # their inputs internally — values at empty cells are never read.
         lean = pk
+        # The deconv/BN/coords/resize side exists only at CHILD cells (ME:
+        # ``dec`` rows before the union add); BN statistics run over the
+        # child set like the reference's, and the dec contribution is
+        # zeroed outside it so skip-only union cells carry the shortcut
+        # features alone.
         f = DenseBN(
             self.axis_name, packed=pk, mask_output=not lean, name="up_bn"
-        )(x, msk, train)
+        )(x, msk_child, train)
         x = nn.leaky_relu(f, 0.01)
         if not lean:
-            x = _mm(x, msk, pk)
+            x = _mm(x, msk_child, pk)
 
         if pk:
             # Split resize: features stay on the tile-aligned [.., 2ch]
@@ -773,28 +785,30 @@ class DenseDecoderStage(nn.Module):
             tok2 = jnp.zeros((1, 1, 1, 2 * (ch + 3)), x.dtype)
             wr, br = DenseConv(
                 ch, 1, compute_dtype=cd, packed=True, name="resize"
-            )(tok2, msk, params_only=True)
+            )(tok2, msk_child, params_only=True)
             x = DenseBNResizeCoords(self.axis_name, name="resize_bn")(
-                x, msk, box, self.scale, wr[0], br, train, compute_dtype=cd
+                x, msk_child, box, self.scale, wr[0], br, train,
+                compute_dtype=cd,
             )
         else:
             norm_c = (
                 cell_coords(box, self.scale, ORDER).astype(jnp.float32)
                 / self.scale
             ).astype(x.dtype)
-            xc = jnp.concatenate([x, _mm(norm_c, msk, False)], axis=-1)
+            xc = jnp.concatenate([x, _mm(norm_c, msk_child, False)], axis=-1)
             xc = DenseBN(
                 self.axis_name, packed=pk, mask_output=not lean,
                 name="resize_bn",
-            )(xc, msk, train)
+            )(xc, msk_child, train)
             x = DenseConv(
                 ch, 1, compute_dtype=cd, packed=pk, mask_output=not lean,
                 name="resize",
-            )(xc, msk)
-        # skip is masked by its producer; at msk-invalid cells the sum is
-        # garbage the lean res blocks never read.
+            )(xc, msk_child)
+        # Union add: dec side zeroed outside the child set; skip is masked
+        # by its producer.  At msk-invalid cells the sum is garbage the
+        # lean res blocks never read.
         sk = skip.astype(x.dtype)
-        x = x + (sk if lean else _mm(sk, msk, pk))
+        x = _mm(x, msk_child, pk) + (sk if lean else _mm(sk, skip_mask, pk))
 
         fused = (
             self.pallas and pk and not train and self.n_res > 0
@@ -1242,7 +1256,7 @@ class DensePaSCoNet(nn.Module):
                 dropout=m.decoder_dropouts[i],
                 name=f"dec_s{scale}",
             )(
-                x, parent_keep, enc[scale][0], box,
+                x, parent_keep, enc[scale][0], enc[scale][1], box,
                 inp.global_min, inp.global_max, train, drop_on,
             )
             # top_class/top_prob are logical [X, Z, Y, S]; sem stays in the

@@ -86,6 +86,7 @@ def _up_kernel(
     ids_ref, n_ref, gmin_ref,
     par_ref,                  # HBM [X2, T2, Y2, 2ci]
     skip_ref,                 # HBM [X, T, Y32, 2co]
+    cm_ref,                   # HBM [X+2, T+2, Ypad, 2co] int8 CHILD mask
     wk_ref,                   # VMEM [2ci, 16co]
     bd_ref,                   # VMEM [1, 16co] f32 deconv bias (tiled)
     aff1_ref,                 # VMEM [2, 2co] f32 (a, c) up_bn
@@ -95,8 +96,9 @@ def _up_kernel(
     out_ref,                  # HBM [X+2, T+2, Ypad, 2co]
     pbuf,                     # VMEM [2, 4, T2, 16, 2ci]
     sbuf,                     # VMEM [XW, T, YT, 2co]
+    mbuf,                     # VMEM [XW, T, YT, 2co] int8
     obuf,                     # VMEM [XW, T, YT, 2co]
-    in_sems, skip_sem, out_sem,
+    in_sems, skip_sem, m_sem, out_sem,
     *,
     T: int, by: int, co: int, scale: int, xw: int = XW,
 ):
@@ -134,6 +136,16 @@ def _up_kernel(
             skip_sem,
         )
         skip_dma.start()
+        # Child mask (interior slice of the padded stage_mask8 volume):
+        # the deconv/BN/coords/resize side exists only at generated-child
+        # cells — union cells contributed by the skip alone must carry
+        # the shortcut features only (ME ``dec + shortcut`` union add).
+        m_dma = pltpu.make_async_copy(
+            cm_ref.at[pl.ds(x0 + 1, xw), pl.ds(1, T), pl.ds(16 + y0, YT)],
+            mbuf,
+            m_sem,
+        )
+        m_dma.start()
         slot = jax.lax.rem(g, 2)
         par_dma(slot, g).wait()
 
@@ -187,10 +199,11 @@ def _up_kernel(
             preferred_element_type=f32,
         ) + br_ref[0]
         skip_dma.wait()
-        res = (
-            r.astype(jnp.bfloat16).reshape(xw, T, YT, co2)
-            + sbuf[...].astype(jnp.bfloat16)
+        m_dma.wait()
+        dec = jnp.where(
+            mbuf[...] != 0, r.astype(jnp.bfloat16).reshape(xw, T, YT, co2), 0
         )
+        res = dec + sbuf[...].astype(jnp.bfloat16)
         obuf[...] = res.astype(obuf.dtype)
         copy = pltpu.make_async_copy(
             obuf,
@@ -216,7 +229,8 @@ def up_plan(ci2: int, co2: int, T: int) -> int:
         ob = xw * T * YT * _pad128(co2) * 2  # one bf16 output-tile volume
         pslot = (xw // 2) * (T // 2) * (YT // 2) * _pad128(ci2) * 2
         wkb = ci2 * _pad128(8 * co2) * 2
-        total = 2 * pslot + 2 * ob + wkb + 9 * ob + 2**20
+        # + ob // 2: the int8 child-mask tile (union-add semantics)
+        total = 2 * pslot + 2 * ob + ob // 2 + wkb + 9 * ob + 2**20
         if total <= _SCOPED_VMEM_BUDGET:
             return xw
     import warnings
@@ -231,7 +245,7 @@ def up_plan(ci2: int, co2: int, T: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("scale", "ypad", "xw"))
 def _up_call(
-    parent, skip, wk, bd16, aff1, aff2, wr2, br2, ids, n_active, gmin,
+    parent, skip, cm8, wk, bd16, aff1, aff2, wr2, br2, ids, n_active, gmin,
     scale, ypad, xw,
 ):
     # ``xw`` is passed explicitly by up_preamble_padded (which builds the
@@ -250,26 +264,29 @@ def _up_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # parent
             pl.BlockSpec(memory_space=pltpu.ANY),   # skip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # child mask int8
             *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, xw // 2, T2, YT // 2, ci2), parent.dtype),
             pltpu.VMEM((xw, T, YT, co2), parent.dtype),
+            pltpu.VMEM((xw, T, YT, co2), jnp.int8),
             pltpu.VMEM((xw, T, YT, co2), parent.dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    def kernel(ids_ref, n_ref, gmin_ref, par_ref, skip_ref, wk_ref,
+    def kernel(ids_ref, n_ref, gmin_ref, par_ref, skip_ref, cm_ref, wk_ref,
                bd_ref, aff1_ref, aff2_ref, wr_ref, br_ref, out_ref,
-               pbuf, sbuf, obuf, in_sems, skip_sem, out_sem):
+               pbuf, sbuf, mbuf, obuf, in_sems, skip_sem, m_sem, out_sem):
         _up_kernel(
-            ids_ref, n_ref, gmin_ref, par_ref, skip_ref, wk_ref, bd_ref,
-            aff1_ref, aff2_ref, wr_ref, br_ref, out_ref,
-            pbuf, sbuf, obuf, in_sems, skip_sem, out_sem,
+            ids_ref, n_ref, gmin_ref, par_ref, skip_ref, cm_ref, wk_ref,
+            bd_ref, aff1_ref, aff2_ref, wr_ref, br_ref, out_ref,
+            pbuf, sbuf, mbuf, obuf, in_sems, skip_sem, m_sem, out_sem,
             T=T, by=by, co=co, scale=scale, xw=xw,
         )
 
@@ -281,7 +298,7 @@ def _up_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((X + 2, T + 2, ypad, co2), skip.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, n_active, gmin, parent, skip, wk, bd16, aff1, aff2, wr2, br2)
+    )(ids, n_active, gmin, parent, skip, cm8, wk, bd16, aff1, aff2, wr2, br2)
 
 
 def up_preamble_padded(
@@ -296,9 +313,15 @@ def up_preamble_padded(
     aff2: Tuple[jnp.ndarray, jnp.ndarray],   # resize_bn (a, c) [2(Co+3)]
     wr: jnp.ndarray,              # [Co + 3, Co] resize weight
     br: jnp.ndarray,              # [Co] resize bias
+    child_m8: jnp.ndarray = None,  # padded int8 CHILD mask (stage_mask8 of
+    #                                upsample2_mask(parent_keep) & bbox)
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Padded chain input [X+2, T+2, Y + 2*16 (+y rounding), 2Co].
+
+    The dec-side preamble is zeroed outside ``child_m8`` before the skip
+    add, so union cells the skip alone contributes carry the shortcut
+    features only (ME semantics, ``decoder_v3.py:163``).
 
     Requires Y % 32 == 0 and X % xw == 0 (xw from :func:`up_plan`; see
     module docstring).
@@ -326,8 +349,9 @@ def up_preamble_padded(
     wr2 = blockdiag2_weight(wr).astype(compute_dtype)
     br2 = jnp.concatenate([br, br]).astype(jnp.float32).reshape(1, 2 * co)
     ids, n_active = active_tiles_xy(occ_xy, xw, YT)
+    assert child_m8 is not None
     return _up_call(
         parent_masked.astype(compute_dtype), skip.astype(compute_dtype),
-        wk, bd16, a1, a2, wr2, br2, ids, n_active,
+        child_m8, wk, bd16, a1, a2, wr2, br2, ids, n_active,
         box_min.astype(jnp.int32), scale, ypad, xw,
     )

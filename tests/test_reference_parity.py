@@ -17,7 +17,6 @@ Skipped wholesale when ``/root/reference`` is absent.
 
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -32,113 +31,19 @@ pytestmark = pytest.mark.skipif(
 
 
 def _build_me_stub():
-    """A faithful test-local MinkowskiEngine stand-in.
+    """Install the shared MinkowskiEngine stand-in (``tests/me_stub.py``).
 
-    Covers exactly the surface the reference's ME-free math path touches
-    (``transformer_predictor_v2.py``, ``criterion_sparse.py``,
-    ``helper.py:semantic_inference_v2``): a ``SparseTensor`` feature/
-    coordinate carrier with ``.F/.C/.shape/features_at/coordinates_at/
-    dense``, ``utils.batched_coordinates``, ``MinkowskiMaxPooling``
-    (kernel == stride, the only mode used) and ``MinkowskiSigmoid``.
-    Coordinate semantics follow ME v0.5: ``dense(shape, min_coordinate)``
-    places features at ``(C - min_coordinate) // tensor_stride``; stride-s
-    max pooling emits the unique ``floor(C / s) * s`` cells.
+    Round 3 covered only the ME-free math surface (SparseTensor carrier,
+    max pooling, sigmoid); the stub now also implements ME's conv
+    semantics — submanifold/strided ``MinkowskiConvolution``, the
+    generative ``MinkowskiConvolutionTranspose(expand_coordinates=True)``
+    and ``MinkowskiPruning`` — so the reference encoder/decoder modules
+    run under these parity tests too (see
+    ``tests/test_reference_parity_conv.py``).
     """
-    stub = types.ModuleType("MinkowskiEngine")
+    from tests import me_stub
 
-    class SparseTensor:
-        def __init__(self, features=None, coordinates=None,
-                     tensor_stride=1, **kw):
-            self.F = features
-            self.C = coordinates
-            if isinstance(tensor_stride, int):
-                tensor_stride = [tensor_stride] * 3
-            self.tensor_stride = list(tensor_stride)
-
-        @property
-        def shape(self):
-            return self.F.shape
-
-        @property
-        def device(self):
-            return self.F.device
-
-        def features_at(self, i):
-            return self.F[self.C[:, 0] == i]
-
-        def coordinates_at(self, i):
-            return self.C[self.C[:, 0] == i][:, 1:]
-
-        def dense(self, shape=None, min_coordinate=None):
-            stride = self.tensor_stride[0]
-            if min_coordinate is None:
-                mc = torch.zeros(3, dtype=torch.long)
-            else:
-                mc = min_coordinate.long()
-            out = torch.zeros(tuple(shape), dtype=self.F.dtype)
-            c = self.C.long()
-            rel = torch.div(c[:, 1:] - mc[None, :], stride,
-                            rounding_mode="floor")
-            out[c[:, 0], :, rel[:, 0], rel[:, 1], rel[:, 2]] = self.F
-            return out, None, None
-
-    class _Module(torch.nn.Module):
-        def __init__(self, *a, **kw):
-            super().__init__()
-
-    class MinkowskiSigmoid(_Module):
-        def forward(self, st):
-            return SparseTensor(torch.sigmoid(st.F), st.C,
-                                tensor_stride=st.tensor_stride)
-
-    class MinkowskiMaxPooling(torch.nn.Module):
-        def __init__(self, kernel_size=1, stride=1, dimension=3):
-            super().__init__()
-            assert kernel_size == stride, "stub supports kernel == stride"
-            self.stride = stride
-
-        def forward(self, st):
-            s = self.stride
-            c = st.C.clone().long()
-            c[:, 1:] = torch.div(c[:, 1:], s, rounding_mode="floor") * s
-            uniq, inv = torch.unique(c, dim=0, return_inverse=True)
-            f = torch.full(
-                (uniq.shape[0], st.F.shape[1]),
-                float("-inf"), dtype=st.F.dtype,
-            )
-            f = f.scatter_reduce(
-                0, inv[:, None].expand(-1, st.F.shape[1]), st.F,
-                reduce="amax", include_self=True,
-            )
-            return SparseTensor(f, uniq.int(), tensor_stride=[s] * 3)
-
-    def batched_coordinates(coord_list, **kw):
-        rows = []
-        for b, c in enumerate(coord_list):
-            c = torch.as_tensor(c).long()
-            bcol = torch.full((c.shape[0], 1), b, dtype=torch.long)
-            rows.append(torch.cat([bcol, c], dim=1))
-        return torch.cat(rows, dim=0).int()
-
-    class _MEBase:
-        pass
-
-    utils = types.ModuleType("MinkowskiEngine.utils")
-    utils.batched_coordinates = batched_coordinates
-
-    stub.SparseTensor = SparseTensor
-    stub.MinkowskiSigmoid = MinkowskiSigmoid
-    stub.MinkowskiMaxPooling = MinkowskiMaxPooling
-    stub.utils = utils
-    stub.MinkowskiModuleBase = _MEBase
-
-    def _getattr(name):
-        return _MEBase
-
-    stub.__getattr__ = _getattr
-    sys.modules["MinkowskiEngine"] = stub
-    sys.modules["MinkowskiEngine.utils"] = utils
-    return stub
+    return me_stub.install()
 
 
 def _import_ref(modname):
