@@ -114,3 +114,102 @@ def test_dp_update_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(dp_flat), np.asarray(ref_flat), rtol=2e-3, atol=2e-5,
     )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >= 2 virtual devices"
+)
+def test_flagship_width_dp_step():
+    """One DP step at FULL flagship layer widths (f=64, 384-dim/100-query
+    transformer, 3 res blocks per stage, aux criterion levels ON) on a
+    2-device mesh.  The driver dryrun and the 4-device tests shrink conv
+    widths/blocks/aux to fit their budgets (core/config.py:dryrun_config);
+    this test keeps every width at the released values and shrinks only
+    the BOX (32x32x8) and capacities, so width-dependent sharding rules
+    (per-layer replication layouts, collective shapes at real channel
+    counts) are exercised somewhere.  f32 compute: XLA:CPU emulates bf16
+    per-op (the dryrun's documented ladder); sharding rules are
+    dtype-independent."""
+    import dataclasses
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from pasco_tpu.core.config import (
+        CapacityConfig, PaSCoConfig, SceneConfig)
+    from pasco_tpu.data.semantic_kitti.collate import collate
+    from pasco_tpu.data.semantic_kitti.dataset import process_scene
+    from pasco_tpu.data.synthetic import make_scene
+    from pasco_tpu.models.unet import build_net
+    from pasco_tpu.parallel.mesh import (
+        dp_train_step, make_mesh, replicate_to_mesh, shard_batch_to_mesh,
+        stack_scenes)
+    from pasco_tpu.training.step import (
+        class_weight_vector, create_train_state, labelweights_for,
+        scene_to_model_input)
+
+    base = PaSCoConfig()
+    cfg = base.replace(
+        model=dataclasses.replace(
+            base.model,
+            in_channels=8,                # point-feature dim only
+            encoder_dropouts=(0.0,) * 6,
+            compute_dtype="float32",
+        ),
+        scene=SceneConfig(
+            scene_size=(32, 32, 8),
+            box_extent=(32, 32, 8),
+            box_candidates=(),
+            train_box_extent=None,
+        ),
+        capacity=CapacityConfig(
+            num_points=2048,
+            enc_s1=2048, enc_s2=1024, enc_s4=256, enc_s8=64,
+            bottleneck=64, ups_s4=256,
+            dec_s4=256, dec_s2=1024, dec_s1=2048,
+            panop_s4=128, panop_s2=256, panop_s1=512,
+        ),
+    )
+    assert cfg.model.f == 64 and cfg.model.transformer.hidden_dim == 384
+    assert cfg.model.transformer.num_queries == 100
+    assert cfg.loss.include_aux
+    net = build_net(cfg)
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    lw = labelweights_for(cfg, freqs)
+    cw = jnp.asarray(
+        class_weight_vector(cfg.model.n_classes, cfg.loss.no_object_weight)
+    )
+    rng = np.random.RandomState(0)
+    scenes = [
+        collate(
+            [
+                process_scene(
+                    make_scene(
+                        rng, scene_size=cfg.scene.scene_size, n_points=800,
+                        point_feat_dim=cfg.model.in_channels - 6,
+                        n_things=3,
+                    ),
+                    None, rng,
+                )
+            ],
+            cfg, max_targets=16,
+        )
+        for _ in range(2)
+    ]
+    state, tx = create_train_state(
+        net, cfg, scene_to_model_input(scenes[0]), lw, jax.random.PRNGKey(0)
+    )
+    mesh = make_mesh(2)
+    inp, tgt = stack_scenes(scenes)
+    inp = shard_batch_to_mesh(inp, mesh)
+    tgt = shard_batch_to_mesh(tgt, mesh)
+    dstate = replicate_to_mesh(state, mesh)
+    dp_state, logs = jax.jit(
+        partial(
+            dp_train_step, mesh=mesh, net=net, tx=tx, labelweights=lw,
+            class_weight=cw, cfg=cfg,
+        )
+    )(dstate, inp, tgt, jax.random.PRNGKey(3))
+    assert np.isfinite(float(logs["total_loss"]))
+    flat, _ = jax.flatten_util.ravel_pytree(dp_state.params)
+    assert bool(jnp.all(jnp.isfinite(flat)))
