@@ -776,3 +776,47 @@ def extract_sparse(
         e = extra.shape[-1]
         out_extra = jnp.where(mask[:, None], extra.reshape(n, e)[src], 0)
     return grid, out_extra
+
+
+def scatter_max_rows(
+    f: jnp.ndarray,            # [P, C] point features
+    flat_idx: jnp.ndarray,     # [P] int32 destination row (== n_rows: dump)
+    n_rows: int,
+    neg,                       # fill value (-inf in the feature dtype)
+) -> jnp.ndarray:
+    """Per-channel scatter-max of ``f`` into a ``[n_rows + 1, C]`` table
+    initialised to ``neg`` (same contract as
+    ``full(...).at[flat_idx].max(f)``).
+
+    XLA:TPU lowers a conflicting scatter-max to a serialised
+    read-modify-write (profiled at 5 GB/s, ~12 ms/scan for the s1
+    featurizer scatter).  This form makes every write conflict-free:
+    sort points by destination row, run a segmented cumulative max
+    (``associative_scan`` over (key, value) — O(log P) vector passes),
+    and scatter only each run's LAST element with ``unique_indices``.
+    Dump rows keep index ``n_rows + 1`` (out of bounds) so ``mode=drop``
+    removes them before the scatter — the remaining indices are unique.
+    """
+    P, C = f.shape
+    keys = flat_idx.astype(jnp.int32)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    sf = jnp.take(f, order, axis=0)
+
+    def comb(a, b):
+        ka, va = a
+        kb, vb = b
+        return kb, jnp.where((ka == kb)[:, None], jnp.maximum(va, vb), vb)
+
+    _, cm = jax.lax.associative_scan(comb, (sk, sf))
+    last = jnp.concatenate(
+        [sk[1:] != sk[:-1], jnp.ones((1,), bool)]
+    )
+    # n_rows is the caller's dump row; n_rows + 1 is OUT OF BOUNDS for the
+    # (n_rows + 1)-row table -> dropped, so written indices are unique.
+    rows = jnp.where(last & (sk < n_rows), sk, n_rows + 1)
+    return (
+        jnp.full((n_rows + 1, C), neg, f.dtype)
+        .at[rows]
+        .max(cm, mode="drop", unique_indices=True)
+    )

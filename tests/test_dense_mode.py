@@ -369,6 +369,7 @@ def test_z_pack_model_equivalence():
         )
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_resize_bn_coords_train_matches_concat():
     """DenseBNResizeCoords' train=True path (mask-marginal coordinate BN
     statistics + running-stat updates) must match the unfused concat path

@@ -19,6 +19,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -110,6 +111,7 @@ def test_eval_cli_smoke(tmp_path, capsys, monkeypatch):
     assert "subnet 0" in out
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_eval_cli_torch_ckpt(tmp_path, capsys, monkeypatch):
     """One-command released-checkpoint path: ``--torch_ckpt`` converts a
     Lightning ``.ckpt`` on the fly (training/convert_torch.py) and runs the

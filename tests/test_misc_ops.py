@@ -62,3 +62,23 @@ def test_ply_export(tmp_path):
     export_semantic_ply(path, sem)
     content = open(path).read()
     assert "element vertex 1" in content
+
+
+def test_scatter_max_rows_matches_naive():
+    import jax.numpy as jnp
+
+    from pasco_tpu.ops.dense_ops import scatter_max_rows
+
+    r = np.random.RandomState(0)
+    P, C, n_rows = 500, 8, 64
+    f = jnp.asarray(r.randn(P, C), jnp.float32)
+    idx = jnp.asarray(
+        np.where(r.rand(P) < 0.2, n_rows, r.randint(0, n_rows, P)), jnp.int32
+    )
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    want = jnp.full((n_rows + 1, C), neg).at[idx].max(f, mode="drop")
+    got = scatter_max_rows(f, idx, n_rows, neg)
+    # dump row (sliced off by every caller) may differ; compare the rest
+    np.testing.assert_allclose(
+        np.asarray(got[:-1]), np.asarray(want[:-1])
+    )

@@ -167,6 +167,7 @@ def test_fused_packed_conv_chain_matches_xla():
     # buffers); every chain consumer masks or gathers kept cells only
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_packed_conv_vjp_matches_xla():
     """Gradients of the custom-VJP Pallas conv == autodiff of the XLA
     formulation, for a loss that reads mask-valid cells only (the packed
@@ -288,6 +289,7 @@ def test_conv_plan_ladder():
     assert ss is True and xw == 4
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_block_sparse_packed_conv_slot_split_matches_xla():
     """Ci=Co=128 triggers the slot-split tap formulation; must agree
     with the XLA packed conv on kept cells."""
@@ -365,6 +367,7 @@ def test_fused_packed_conv_slot_split_matches_xla():
     assert d[sel].max() < 2e-3, d[sel].max()
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_fused_packed_conv_y_tile_rounding():
     """Y extents that are not a 16-multiple (e.g. stride-4 of a 352 box
     -> 88) run the fused kernel via internal y rounding; outputs match
@@ -434,6 +437,7 @@ def test_block_sparse_packed_conv_y_tile_rounding():
     assert d.max() < 2e-3, d.max()
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_fused_packed_conv_lane_fold_matches_xla():
     """s1-proportioned stage (2C = 32 lanes, T = 16): the chain buffers
     lane-fold p = 4 z-pair rows into the 128-lane tile (lane_fold)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 try:
     from jax.experimental.pallas import tpu as pltpu
@@ -149,6 +150,7 @@ def test_up_preamble_partial_tiles():
     assert d.max() < 0.05, d.max()
 
 
+@pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
 def test_up_preamble_reduced_tile_plan(monkeypatch):
     """xw=4 (VMEM-ladder fallback) matches the default xw=8 plan."""
     import pasco_tpu.ops.pallas_deconv as pdc
