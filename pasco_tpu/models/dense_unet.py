@@ -56,6 +56,7 @@ from pasco_tpu.ops.dense_ops import (
     mask_mul_z2,
     maxpool2_mask,
     pack_z2,
+    scatter_max_rows,
     upsample2_mask,
 )
 
@@ -1126,8 +1127,9 @@ class DensePaSCoNet(nn.Module):
             row = (cellrow * 2 + (rel[:, 2] % 2)) * S + subnet
             n_rows = ex * tz * ey * 2 * S          # == n_cells * S
             flat_idx = jnp.where(in_box, row, n_rows)
-            grid_f = jnp.full((n_rows + 1, m.f), neg, cd)
-            grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
+            # Sorted conflict-free scatter-max (scatter_max_rows): the
+            # naive .at[].max serialises on TPU (profiled 12 ms/scan here).
+            grid_f = scatter_max_rows(f.astype(cd), flat_idx, n_rows, neg)
             # A cell is occupied iff any point scattered into it, iff its
             # row rose above the -inf init — spares a second (bool)
             # scatter pass (~14 ms/scan profiled).  Row-max + -inf select
@@ -1147,8 +1149,7 @@ class DensePaSCoNet(nn.Module):
             # ids enumerate y fastest.
             cell = (rel[:, 0] * ez + rel[:, 2]) * ey + rel[:, 1]
             flat_idx = jnp.where(in_box, subnet * n_cells + cell, S * n_cells)
-            grid_f = jnp.full((S * n_cells + 1, m.f), neg, cd)
-            grid_f = grid_f.at[flat_idx].max(f.astype(cd), mode="drop")
+            grid_f = scatter_max_rows(f.astype(cd), flat_idx, S * n_cells, neg)
             occ = jnp.max(grid_f, axis=-1) > neg
             grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
             sub_mask = occ[:-1].reshape(S, ex, ez, ey)
