@@ -876,14 +876,24 @@ class DenseDecoderStage(nn.Module):
         # copy of the full-scale feature volume just for the head einsum.
         whx = wh.astype(x.dtype)
 
-        def reduce_sem(sem_f32):
-            """(argmax class, its softmax prob) over the class axis."""
-            tc = jnp.argmax(sem_f32, axis=-1).astype(jnp.int32)
-            tp = jnp.exp(
-                jnp.max(sem_f32, axis=-1)
-                - jax.nn.logsumexp(sem_f32, axis=-1)
+        def reduce_sem(sem_bf16):
+            """(argmax class, its softmax prob) over the class axis.
+
+            Reads the bf16 logits directly (max/argmax are order-preserving
+            under the bf16->f32 convert, so indices and ties match the old
+            f32-materialising form exactly) and accumulates the softmax
+            denominator in f32 per element:  exp(max - logsumexp) ==
+            1 / sum(exp(sem - max)).  The previous form materialised an f32
+            copy of the full-scale sem volume (~590 MB at dec_s1, profiled
+            2.25 ms/scan) because three reduction consumers defeated XLA's
+            convert fusion."""
+            mx = jnp.max(sem_bf16, axis=-1)
+            tc = jnp.argmax(sem_bf16, axis=-1).astype(jnp.int32)
+            se = jnp.sum(
+                jnp.exp((sem_bf16 - mx[..., None]).astype(jnp.float32)),
+                axis=-1,
             )
-            return tc, tp.astype(jnp.bfloat16)
+            return tc, (1.0 / se).astype(jnp.bfloat16)
 
         if pk:
             # ONE block-diagonal head dot producing sem directly in the
@@ -907,7 +917,7 @@ class DenseDecoderStage(nn.Module):
                     + b2[None, None, None]
                 ).astype(jnp.bfloat16)
             )                                                    # [X,T,Y,2SK]
-            sem_v = sem.reshape(X_, T_, Y_, 2, S, K).astype(jnp.float32)
+            sem_v = sem.reshape(X_, T_, Y_, 2, S, K)
             tc, tp = reduce_sem(sem_v)                           # [X,T,Y,2,S]
             top_class = tc.transpose(0, 1, 3, 2, 4).reshape(
                 X_, 2 * T_, Y_, S
@@ -933,7 +943,7 @@ class DenseDecoderStage(nn.Module):
             # path, whose sem is stored bf16): keeps argmax tie-breaks —
             # and therefore the extraction sets — identical across the
             # packed/unpacked formulations.
-            top_class, top_prob = reduce_sem(sem.astype(jnp.float32))
+            top_class, top_prob = reduce_sem(sem)
             sem = jnp.where(msk[..., None, None], sem, 0)
             top_class = jnp.where(msk[..., None], top_class, 0)
             top_prob = jnp.where(msk[..., None], top_prob, 0)
@@ -1135,7 +1145,17 @@ class DensePaSCoNet(nn.Module):
             # scatter pass (~14 ms/scan profiled).  Row-max + -inf select
             # fuse over one read of the volume.
             occ = jnp.max(grid_f, axis=-1) > neg
-            grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
+            if train:
+                # Replace the -inf init at empty rows.  Training NEEDS this:
+                # enc_in's weight gradient contracts x against a masked
+                # cotangent, and -inf * 0 = NaN would poison dW.
+                grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)
+            # At inference the -inf rows flow through unreplaced (saves a
+            # full-volume select, ~3.3 ms/scan): every consumer masks by
+            # SELECT (mask_mul_z2 / the Pallas prologue), never by
+            # multiply, so the garbage enc_in produces at empty cells is
+            # replaced — not scaled — before any cell-mixing op reads it.
+            grid_f = grid_f[:-1]
             x = grid_f.reshape(ex, tz, ey, 2 * S * m.f)
             # Occupancy is tiny (i1): unzip the packed row order back to
             # logical [S, X, Z, Y].

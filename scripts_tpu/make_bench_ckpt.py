@@ -71,7 +71,10 @@ def main() -> None:
             n_points=min(cfg.capacity.num_points, 120000),
             point_feat_dim=cfg.model.in_channels - 6,
         )
-        return collate([process_scene(sc, None, rng)], cfg)
+        # train_crop: the reference trains at the random 0.8 crop
+        # (kitti_dataset.py:463-490) — the full union box OOMs the train
+        # step on one chip (PERF.md memory ladder).
+        return collate([process_scene(sc, None, rng, train_crop=True)], cfg)
 
     scene0 = draw_scene()
     state, tx = create_train_state(
