@@ -361,8 +361,13 @@ def dryrun_config(n_infers: int = 2) -> PaSCoConfig:
         # The transformer keeps its real 384-dim/100-query shape and the
         # MIMO subnet axis stays vmapped, so every sharding rule and layer
         # type is exercised unchanged.
+        # remat=False: rematerialisation exists to fit flagship-box
+        # activations in HBM; at the 32x32x8 dry-run box it only doubles
+        # the backward's compute and the compiled HLO (round-4 regression:
+        # compile 138.8 -> 202.6 s, exec past the driver budget).
         model=dataclasses.replace(
-            base.model, f=32, res_blocks=1, compute_dtype="float32"
+            base.model, f=32, res_blocks=1, compute_dtype="float32",
+            remat=False,
         ),
         loss=dataclasses.replace(base.loss, include_aux=False),
         scene=SceneConfig(

@@ -53,6 +53,10 @@ def masked_cross_attention(
     any_allowed = jnp.any(allowed, axis=0)  # [Q]
     allowed = jnp.where(any_allowed[None, :], allowed, True)
 
+    # Never pad PAST the KV length: with N << chunk the single chunk would
+    # otherwise process chunk/N x dead rows (the 8-device dryrun's 512-row
+    # KV ran 64x padded at chunk=32768 — measured as ~12 of its 13 s/step).
+    chunk = min(chunk, max(128, -(-n // 128) * 128))
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     if pad:
