@@ -1145,16 +1145,18 @@ class DensePaSCoNet(nn.Module):
             # scatter pass (~14 ms/scan profiled).  Row-max + -inf select
             # fuse over one read of the volume.
             occ = jnp.max(grid_f, axis=-1) > neg
-            if train:
-                # Replace the -inf init at empty rows.  Training NEEDS this:
-                # enc_in's weight gradient contracts x against a masked
-                # cotangent, and -inf * 0 = NaN would poison dW.
-                grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)
-            # At inference the -inf rows flow through unreplaced (saves a
-            # full-volume select, ~3.3 ms/scan): every consumer masks by
-            # SELECT (mask_mul_z2 / the Pallas prologue), never by
-            # multiply, so the garbage enc_in produces at empty cells is
-            # replaced — not scaled — before any cell-mixing op reads it.
+            # Replace the -inf init at empty rows — ALWAYS, not only at
+            # train.  The padded-volume contract tolerates *finite* garbage
+            # at empty cells (consumers select by mask before any
+            # cell-mixing op), but non-finite garbage breaks the packed
+            # 1x1/head BLOCK-DIAGONAL dots: their zero blocks compute
+            # 0 * (-inf) = NaN, which poisons the VALID partner slot of
+            # every half-occupied z-pair.  (A round-4 tail change skipped
+            # this select at inference to save ~3.3 ms/scan; whether it
+            # survives depends on the XLA version folding structured zero
+            # blocks — on this round's XLA:CPU it produced NaN at ~94% of
+            # valid cells, caught by test_z_pack_model_equivalence.)
+            grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)
             grid_f = grid_f[:-1]
             x = grid_f.reshape(ex, tz, ey, 2 * S * m.f)
             # Occupancy is tiny (i1): unzip the packed row order back to
