@@ -198,26 +198,37 @@ def main():
     n_iters = int(os.environ.get("BENCH_ITERS", "4"))
 
     if batch > 1:
-        # Batched throughput: vmap B independent scans per dispatch.
-        # vmapping the scalar-prefetch Pallas kernels is unsupported;
-        # batched throughput measures the XLA formulation instead.
+        # Batched throughput: vmap B independent scans per dispatch.  The
+        # scalar-prefetch Pallas kernels batch through their custom_vmap
+        # rules (ops/pallas_batch.py) — one kernel call per element inside
+        # ONE jit program (a TPU core executes ops sequentially anyway;
+        # batching amortises dispatch overhead and batches the XLA graph
+        # between kernels).  BENCH_BATCH_PALLAS=0 re-measures the old
+        # XLA-formulation fallback for comparison.
         from pasco_tpu.models.unet import build_net
 
         cfg = PaSCoConfig()
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, pallas_conv="off")
-        )
+        if os.environ.get("BENCH_BATCH_PALLAS", "1") == "0":
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, pallas_conv="off")
+            )
         net = build_net(cfg)
         lw = labelweights_for(cfg, CLASS_FREQUENCIES)
 
         def fwd(variables, inp):
             return net.apply(variables, inp, lw, train=False)
 
+        # B DISTINCT scans (same full working box -> same static shapes).
+        inps = [inp0] + [
+            _synthetic_model_input(cfg, seed=100 + k)[0]
+            for k in range(batch - 1)
+        ]
         binp = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x] * batch), inp0
+            lambda *xs: jnp.stack(xs), *inps
         )
         rfn = jax.jit(jax.vmap(_reduced(fwd), in_axes=(None, 0)))
         jax.block_until_ready(rfn(variables, binp))  # compile
+        np.asarray(rfn(variables, binp))             # warm + full sync
         samples = []
         for _ in range(max(n_iters, 6)):
             t0 = time.perf_counter()

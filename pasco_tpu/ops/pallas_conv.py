@@ -1142,11 +1142,13 @@ def fused_packed_conv(
         skip_arr = jnp.zeros((1, 1, 1, p * 2 * co), xp.dtype)
     else:
         skip_arr = skip.astype(xp.dtype)
-    out = _fused_conv_call(
-        xp.astype(cd), mask8, weights, aff, b2, skip_arr, ids, n_active,
+    from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
+
+    out = cached_sequential_vmap(
+        _fused_conv_call,
         xw, yt, tb, affine is not None, relu, skip is not None, out_padded,
         slot_split, db, p,
-    )
+    )(xp.astype(cd), mask8, weights, aff, b2, skip_arr, ids, n_active)
     if out_padded or p == 1:
         return out
     return _unfold_t(out, p, 2 * co)
@@ -1185,9 +1187,11 @@ def block_sparse_packed_conv(
         else jnp.zeros((2 * co,), jnp.float32)
     ).reshape(1, 2 * co)
     ids, n_active = active_tiles(mask, xw, yt, tb, p)
-    out = _packed_conv_call(
-        xp, weights, b2, ids, n_active, xw, yt, tb, slot_split, db, p
-    )
+    from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
+
+    out = cached_sequential_vmap(
+        _packed_conv_call, xw, yt, tb, slot_split, db, p
+    )(xp, weights, b2, ids, n_active)
     return _unfold_t(out, p, 2 * co)[:, :, :Y].astype(x.dtype)
 
 

@@ -350,8 +350,10 @@ def up_preamble_padded(
     br2 = jnp.concatenate([br, br]).astype(jnp.float32).reshape(1, 2 * co)
     ids, n_active = active_tiles_xy(occ_xy, xw, YT)
     assert child_m8 is not None
-    return _up_call(
+    from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
+
+    return cached_sequential_vmap(_up_call, scale, ypad, xw)(
         parent_masked.astype(compute_dtype), skip.astype(compute_dtype),
         child_m8, wk, bd16, a1, a2, wr2, br2, ids, n_active,
-        box_min.astype(jnp.int32), scale, ypad, xw,
+        box_min.astype(jnp.int32),
     )

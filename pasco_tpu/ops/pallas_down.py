@@ -272,7 +272,8 @@ def down_padded_to_padded(
     T = xpad.shape[1] - 2
     xw, db = down_plan(c2, 2 * co, T)
     ids, n_active = active_tiles_xy(new_occ_xy, xw, YT)
-    return _down_call(
-        xpad.astype(compute_dtype), mask8, wk, b2, aff, ids, n_active,
-        ypad_out, xw, db,
+    from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
+
+    return cached_sequential_vmap(_down_call, ypad_out, xw, db)(
+        xpad.astype(compute_dtype), mask8, wk, b2, aff, ids, n_active
     )

@@ -480,9 +480,10 @@ def stream_extract_z2(
             ],
             axis=1,
         ).astype(jnp.bfloat16)
-        out = _extract_call_sepk(
-            payload.reshape(n_rows, e2), krows, block_ids, r16, n_active,
-            e2, capacity,
+        from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
+
+        out = cached_sequential_vmap(_extract_call_sepk, e2, capacity)(
+            payload.reshape(n_rows, e2), krows, block_ids, r16, n_active
         )
     else:
         lo = keep[:, 0::2].reshape(n_rows, 1)
@@ -510,7 +511,11 @@ def stream_extract_z2(
         pad = nblk * BLOCK_ROWS - n_rows
         if pad:
             pay = jnp.pad(pay, ((0, pad), (0, 0)))
-        out = _extract_call(pay, block_ids, r16, n_active, e2, capacity)
+        from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
+
+        out = cached_sequential_vmap(_extract_call, e2, capacity)(
+            pay, block_ids, r16, n_active
+        )
     out = out[:capacity]
     # lanes: [E vals | local row | is_lo | is_hi] (+ tile padding)
     vals = out[:, :e]
