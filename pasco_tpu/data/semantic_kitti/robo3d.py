@@ -43,6 +43,9 @@ class KittiDatasetRobo3D(KittiDataset):
 
     condition: str = "fog"
     level: str = "light"
+    # Corrupted-dump base directory; defaults to ``preprocess_root`` (the
+    # reference nests the robo3d dumps under the same preprocess root,
+    # ``kitti_dataset_robo3d.py:339-342``).
     robo3d_root: str = ""
 
     def __post_init__(self):
@@ -55,7 +58,7 @@ class KittiDatasetRobo3D(KittiDataset):
         corrupted dumps."""
         clean = super().load_scene(seq, frame)
         wi_pkl = os.path.join(
-            self.preprocess_root,
+            self.robo3d_root or self.preprocess_root,
             "waffleiron_v2",
             self.condition,
             self.level,

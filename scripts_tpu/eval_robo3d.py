@@ -21,6 +21,13 @@ def main():
     p.add_argument("--level", default="light")
     p.add_argument("--limit_batches", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--config",
+        default="flagship",
+        choices=("flagship", "flagship_narrow", "tiny"),
+        help="model/scene config preset; non-flagship presets exist for "
+        "smoke tests (tests/test_eval_robo3d.py) and CPU debugging",
+    )
     args = p.parse_args()
 
     import dataclasses
@@ -41,12 +48,25 @@ def main():
     from pasco_tpu.training import step as tstep
     from pasco_tpu.training.checkpoint import CheckpointManager
 
-    base = PaSCoConfig()
+    if args.config == "flagship":
+        base = PaSCoConfig()
+    elif args.config == "flagship_narrow":
+        from pasco_tpu.core.config import flagship_narrow_config
+
+        base = flagship_narrow_config(n_infers=args.n_infers)
+    else:
+        from pasco_tpu.core.config import tiny_config
+
+        base = tiny_config(n_infers=args.n_infers)
+    if args.config != "flagship":
+        # On-disk labels live in the canonical (256, 256, 32) frame
+        # (reference ``kitti_dataset.py:86-89``); see scripts_tpu/eval.py.
+        base = base.replace(
+            scene=dataclasses.replace(base.scene, scene_size=(256, 256, 32))
+        )
     cfg = base.replace(
         model=dataclasses.replace(base.model, n_infers=args.n_infers)
     )
-    net = build_net(cfg)
-    lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
 
     ds = KittiDatasetRobo3D(
         root=args.dataset_root,
@@ -60,6 +80,16 @@ def main():
         seed=args.seed,
     )
     first = collate(ds[0], cfg)
+    feat_dim = first.point_feats.shape[-1]
+    if feat_dim != cfg.model.in_channels and args.config != "flagship":
+        # Smoke presets adapt to the on-disk feature width (raw velodyne =
+        # 8, WaffleIron robo3d dumps = 283); flagship must match its ckpt.
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, in_channels=feat_dim)
+        )
+        first = collate(ds[0], cfg)
+    net = build_net(cfg)
+    lw = tstep.labelweights_for(cfg, CLASS_FREQUENCIES)
     state, _ = tstep.create_train_state(
         net, cfg, tstep.scene_to_model_input(first), lw, jax.random.PRNGKey(0)
     )
