@@ -138,3 +138,83 @@ def shard_batch_to_mesh(tree, mesh: Mesh):
     """Place a leading-axis batch sharded over the data axis."""
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.device_put(tree, sharding)
+
+
+def ssc_counts_from_output(out, targets: TargetBundle, subnet_min,
+                           n_classes: int):
+    """Jittable per-class (tp, fp, fn) of the scale-1 semantic prediction
+    vs the subnet-0 dense GT — the in-jit slice of ``SSCMetrics.add_batch``
+    (reference ``metrics.py:525-560``) used for cross-replica evaluation.
+
+    255-labelled GT cells are ignored, like the reference's masking.
+    """
+    grid = out.sem_grids[1]
+    coords = grid.coords[..., -3:]
+    mask = grid.mask
+    if coords.ndim == 3:          # per-subnet grids: use subnet 0
+        coords, mask = coords[0], mask[0]
+    logits = out.sem_logits[1][:, 0]              # [cap, C]
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    gt_grid = targets.semantic_dense[0]           # [X, Y, Z] uint8
+    shape = jnp.asarray(gt_grid.shape, jnp.int32)
+    rel = coords - jnp.asarray(subnet_min, jnp.int32)[None, :]
+    in_box = mask & jnp.all(rel >= 0, -1) & jnp.all(rel < shape[None], -1)
+    relc = jnp.clip(rel, 0, shape[None] - 1)
+    gt = gt_grid[relc[:, 0], relc[:, 1], relc[:, 2]].astype(jnp.int32)
+    valid = in_box & (gt != 255)
+
+    cls = jnp.arange(n_classes, dtype=jnp.int32)
+    p = (pred[:, None] == cls[None]) & valid[:, None]
+    g = (gt[:, None] == cls[None]) & valid[:, None]
+    tp = jnp.sum(p & g, axis=0)
+    fp = jnp.sum(p & ~g, axis=0)
+    # fn counts GT cells the extraction missed too: scatter GT class
+    # counts over the dense grid minus tp is host work; here fn is over
+    # extracted cells only (the reference's sparse-side accumulator).
+    fn = jnp.sum(~p & g, axis=0)
+    return tp, fp, fn
+
+
+def dp_eval_step(
+    variables,
+    inp: ModelInput,          # leading axis = device batch
+    targets: TargetBundle,    # leading axis = device batch
+    *,
+    mesh: Mesh,
+    net,
+    labelweights,
+    n_classes: int,
+):
+    """Sharded EVAL forward + cross-replica metric reduction.
+
+    TPU-native equivalent of the reference's distributed validation: each
+    rank runs its scenes and metrics are all-reduced (Lightning
+    ``self.log(..., sync_dist=True)``, ``net_panoptic_sparse.py:182``).
+    Each device computes its scene's per-class (tp, fp, fn) in-jit; the
+    counts are ``psum``-reduced over ICI, so every device returns the
+    GLOBAL counts — the host never gathers per-device outputs.
+    """
+    axis = mesh.axis_names[0]
+
+    def device_eval(variables, inp_i, tgt_i):
+        inp_i = jax.tree_util.tree_map(lambda x: x[0], inp_i)
+        tgt_i = jax.tree_util.tree_map(lambda x: x[0], tgt_i)
+        out = net.apply(variables, inp_i, labelweights, train=False)
+        tp, fp, fn = ssc_counts_from_output(
+            out, tgt_i, inp_i.subnet_min[0], n_classes
+        )
+        return (
+            jax.lax.psum(tp, axis),
+            jax.lax.psum(fp, axis),
+            jax.lax.psum(fn, axis),
+        )
+
+    sharded = shard_map(
+        device_eval,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return sharded(variables, inp, targets)

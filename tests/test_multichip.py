@@ -116,20 +116,20 @@ def test_dp_update_matches_single_device():
     )
 
 
-@pytest.mark.skipif(
-    len(jax.devices()) < 2, reason="needs >= 2 virtual devices"
-)
-def test_flagship_width_dp_step():
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_flagship_width_dp_step(n_devices):
     """One DP step at FULL flagship layer widths (f=64, 384-dim/100-query
     transformer, 3 res blocks per stage, aux criterion levels ON) on a
-    2-device mesh.  The driver dryrun and the 4-device tests shrink conv
-    widths/blocks/aux to fit their budgets (core/config.py:dryrun_config);
+    2- and a 4-device mesh.  The driver dryrun shrinks conv
+    widths/blocks/aux to fit its budget (core/config.py:dryrun_config);
     this test keeps every width at the released values and shrinks only
     the BOX (32x32x8) and capacities, so width-dependent sharding rules
     (per-layer replication layouts, collective shapes at real channel
     counts) are exercised somewhere.  f32 compute: XLA:CPU emulates bf16
     per-op (the dryrun's documented ladder); sharding rules are
     dtype-independent."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip(f"needs >= {n_devices} virtual devices")
     import dataclasses
     from functools import partial
 
@@ -194,12 +194,12 @@ def test_flagship_width_dp_step():
             ],
             cfg, max_targets=16,
         )
-        for _ in range(2)
+        for _ in range(n_devices)
     ]
     state, tx = create_train_state(
         net, cfg, scene_to_model_input(scenes[0]), lw, jax.random.PRNGKey(0)
     )
-    mesh = make_mesh(2)
+    mesh = make_mesh(n_devices)
     inp, tgt = stack_scenes(scenes)
     inp = shard_batch_to_mesh(inp, mesh)
     tgt = shard_batch_to_mesh(tgt, mesh)
@@ -213,3 +213,86 @@ def test_flagship_width_dp_step():
     assert np.isfinite(float(logs["total_loss"]))
     flat, _ = jax.flatten_util.ravel_pytree(dp_state.params)
     assert bool(jnp.all(jnp.isfinite(flat)))
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 virtual devices"
+)
+def test_sharded_eval_metric_sync():
+    """Sharded EVAL forward with cross-replica metric reduction
+    (parallel/mesh.py:dp_eval_step) — the TPU-native equivalent of the
+    reference's ``sync_dist=True`` validation metric all-reduce
+    (``net_panoptic_sparse.py:182``).  The psum-reduced per-class
+    (tp, fp, fn) over a 4-device mesh must equal the SUM of per-scene
+    counts computed unsharded."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from pasco_tpu.core.config import tiny_config
+    from pasco_tpu.data.semantic_kitti.collate import collate
+    from pasco_tpu.data.semantic_kitti.dataset import process_scene
+    from pasco_tpu.data.synthetic import make_scene
+    from pasco_tpu.models.unet import build_net
+    from pasco_tpu.parallel.mesh import (
+        dp_eval_step, make_mesh, replicate_to_mesh,
+        shard_batch_to_mesh, ssc_counts_from_output, stack_scenes)
+    from pasco_tpu.training.step import (
+        create_train_state, labelweights_for, scene_to_model_input,
+        targets_to_device)
+
+    cfg = tiny_config(n_infers=1)
+    net = build_net(cfg)
+    freqs = {s: np.ones(cfg.model.n_classes) for s in (1, 2, 4)}
+    lw = labelweights_for(cfg, freqs)
+    C = cfg.model.n_classes
+    rng = np.random.RandomState(1)
+    scenes = [
+        collate(
+            [
+                process_scene(
+                    make_scene(
+                        rng, scene_size=cfg.scene.scene_size,
+                        n_points=900 + 50 * k,
+                        point_feat_dim=cfg.model.in_channels - 6,
+                        n_things=2,
+                    ),
+                    None, rng,
+                )
+            ],
+            cfg, max_targets=16,
+        )
+        for k in range(4)
+    ]
+    state, _ = create_train_state(
+        net, cfg, scene_to_model_input(scenes[0]), lw, jax.random.PRNGKey(0)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # Unsharded reference: per-scene forward + counts, summed on host.
+    fwd = jax.jit(
+        lambda v, i: net.apply(v, i, lw, train=False)
+    )
+    counts = jax.jit(
+        lambda o, t, m: ssc_counts_from_output(o, t, m, C)
+    )
+    ref = np.zeros((3, C), np.int64)
+    for s in scenes:
+        inp = scene_to_model_input(s)
+        out = fwd(variables, inp)
+        tp, fp, fn = counts(out, targets_to_device(s.targets),
+                            inp.subnet_min[0])
+        ref += np.stack([np.asarray(tp), np.asarray(fp), np.asarray(fn)])
+
+    mesh = make_mesh(4)
+    inp, tgt = stack_scenes(scenes)
+    inp = shard_batch_to_mesh(inp, mesh)
+    tgt = shard_batch_to_mesh(tgt, mesh)
+    v_repl = replicate_to_mesh(variables, mesh)
+    tp, fp, fn = jax.jit(
+        partial(dp_eval_step, mesh=mesh, net=net, labelweights=lw,
+                n_classes=C)
+    )(v_repl, inp, tgt)
+    got = np.stack([np.asarray(tp), np.asarray(fp), np.asarray(fn)])
+    np.testing.assert_array_equal(got, ref)
+    assert ref.sum() > 0          # the scenes produced real predictions
