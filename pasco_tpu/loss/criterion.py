@@ -185,11 +185,18 @@ def criterion_all_subnets(
     (reference ``net_panoptic_sparse.py:380-478`` + aux in
     ``criterion_sparse.py:387-405``).
 
-    The (level, subnet) grid is rolled into ``vmap`` (subnets) under
-    ``lax.map`` (levels) so the matcher + losses trace and compile ONCE
-    instead of ``(1 + n_aux) * n_infers`` times (10 x 2 for the flagship:
-    the unrolled form dominated whole-train-step compile time — the
-    round-2 multichip dryrun timed out compiling it)."""
+    The (level, subnet) grid is rolled into NESTED ``vmap`` (levels over
+    subnets) so the matcher + losses trace and compile ONCE instead of
+    ``(1 + n_aux) * n_infers`` times (10 x 2 for the flagship: the
+    unrolled form dominated whole-train-step compile time — the round-2
+    multichip dryrun timed out compiling it).  Round 5 moved the level
+    axis from ``lax.map`` to ``vmap`` too: the scan executed the 4 level
+    bodies sequentially and its TRANSPOSE re-walked them one by one —
+    profiled at ~87 ms/step of backward while-loop self time plus
+    ~27 ms of carry ``dynamic_update_slice`` on the train step; batched
+    levels run as 4x-wide ops instead (the matcher's augmenting-path
+    ``while_loop`` runs lock-step under vmap, which is faster here than
+    four sequential loops)."""
     S = subnet_min.shape[0]
     levels = [(predictor_out.query_logits, predictor_out.voxel_logits)]
     if include_aux:
@@ -213,7 +220,7 @@ def criterion_all_subnets(
             targets_per_subnet, subnet_min,
         )
 
-    stacked = jax.lax.map(level_fn, (q_all, v_all))  # dict of [L, S]
+    stacked = jax.vmap(level_fn)((q_all, v_all))  # dict of [L, S]
 
     total: Dict[str, jnp.ndarray] = {}
     for li in range(L):

@@ -59,12 +59,30 @@ def lovasz_softmax(
     ).astype(jnp.float32)                                   # [K, N]
     err = jnp.abs(fg - probs.T[cls_arr]) * valid_f[None, :]  # [K, N]
 
-    # Descending sort on err, carrying fg: one batched sort, no gathers.
-    neg_err_sorted, fg_sorted = jax.lax.sort(
-        (-err, fg), dimension=1, num_keys=1, is_stable=True
+    # The loss is dot(err_sorted, w) with w = lovasz_grad(fg_sorted): both
+    # fg and the sort PERMUTATION are constants under AD (sort-of-values
+    # differentiates as a fixed permutation), so dot(err_sorted, w) ==
+    # dot(err, unsort(w)) with IDENTICAL value and gradient.  Computing it
+    # that way keeps the sorts out of the AD path entirely: the
+    # differentiable-sort form paid a u32/s32 JVP payload pair in the
+    # forward sort plus a permutation-apply in backward — profiled at
+    # ~50 ms/step (criterion ssc_lovasz, [4, 19, 150k]) + ~35 ms
+    # (multiscale compl lovász) on the train step.  The unsort is a second
+    # stop-grad sort keyed on the carried iota (a sort is ~3x faster here
+    # than the equivalent scatter).
+    err_sg = jax.lax.stop_gradient(err)
+    k, n = err.shape
+    iota = jnp.broadcast_to(
+        jax.lax.iota(jnp.int32, n)[None, :], (k, n)
     )
-    grad = _lovasz_grad(fg_sorted)
-    losses = jnp.sum(-neg_err_sorted * grad, axis=1)         # [K]
+    neg_err_sorted, fg_sorted, idx_sorted = jax.lax.sort(
+        (-err_sg, fg, iota), dimension=1, num_keys=1, is_stable=True
+    )
+    w = _lovasz_grad(fg_sorted)                              # constant
+    _, w_elem = jax.lax.sort(
+        (idx_sorted, w), dimension=1, num_keys=1, is_stable=False
+    )
+    losses = jnp.sum(err * w_elem, axis=1)                   # [K]
     present = jnp.sum(fg, axis=1) > 0
 
     if classes == "present":

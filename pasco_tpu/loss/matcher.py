@@ -191,9 +191,17 @@ def jax_linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
         minv = jnp.full((c + 1,), big)
         used = jnp.zeros((c + 1,), bool)
 
+        iota_c = jax.lax.iota(jnp.int32, c + 1)
+        iota_r = jax.lax.iota(jnp.int32, r + 1)
+
         def path_step(state):
             u, v, p, way, minv, used, j0 = state
-            used = used.at[j0].set(True)
+            # One-hot selects instead of .at[] scatters: each scatter in
+            # this body dispatched as its own (vmapped) HLO scatter at
+            # ~13 us — profiled 45 ms/step over ~3.5k path iterations of
+            # the flagship criterion.  The vectors are tiny (<= 101), so
+            # masked selects / a [R, C] one-hot reduce are ~free.
+            used = used | (iota_c == j0)
             i0 = p[j0]
             cur = costf[i0 - 1, :] - u[i0] - v[1:]
             upd = (cur < minv[1:]) & ~used[1:]
@@ -202,7 +210,15 @@ def jax_linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
             masked = jnp.where(used[1:], big, minv[1:])
             j1 = jnp.argmin(masked) + 1
             delta = masked[j1 - 1]
-            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            # u[p[j]] += delta for every used column j (p has at most one
+            # used column per row on the augmenting path, but the one-hot
+            # sum is exact for duplicates too).
+            u = u + delta * jnp.sum(
+                (used[None, :] & (p[None, :] == iota_r[:, None])).astype(
+                    jnp.float32
+                ),
+                axis=1,
+            )
             v = v - jnp.where(used, delta, 0.0)
             minv = minv.at[1:].add(jnp.where(used[1:], 0.0, -delta))
             return u, v, p, way, minv, used, j1
@@ -220,7 +236,7 @@ def jax_linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
         def back_step(state):
             p, j0 = state
             j1 = way[j0]
-            p = p.at[j0].set(p[j1])
+            p = jnp.where(iota_c == j0, p[j1], p)
             return p, j1
 
         p, _ = jax.lax.while_loop(lambda s: s[1] != 0, back_step, (p, j0))

@@ -123,12 +123,19 @@ class DenseBN(nn.Module):
 
         axes = tuple(range(x.ndim - 1))
         if train:
-            mx = _mm(x, mask, self.packed).astype(jnp.float32)
+            # Masked sums with f32 ACCUMULATION but no materialised f32
+            # copy of the volume: the old shared ``mx.astype(f32)`` became
+            # a full-volume HBM temp feeding both reduces (~15 ms/step at
+            # the s1 shape).  Values are bf16 either way, so converting
+            # per-element inside each reduce fusion is bit-identical.
+            mx = _mm(x, mask, self.packed)
             cnt = jnp.maximum(
-                jnp.sum(mask.astype(jnp.float32)), 1.0
+                jnp.sum(mask, dtype=jnp.float32), 1.0
             )
-            s1 = jnp.sum(mx, axis=axes)
-            s2 = jnp.sum(jnp.square(mx), axis=axes)
+            s1 = jnp.sum(mx, axis=axes, dtype=jnp.float32)
+            s2 = jnp.sum(
+                jnp.square(mx.astype(jnp.float32)), axis=axes
+            )
             if self.packed:  # fold the two slot halves per logical channel
                 s1 = s1[:c] + s1[c:]
                 s2 = s2[:c] + s2[c:]
@@ -1112,7 +1119,15 @@ class DensePaSCoNet(nn.Module):
             & (rel[:, 0] < ex) & (rel[:, 1] < ey) & (rel[:, 2] < ez)
         )
         subnet = jnp.clip(inp.point_coords[:, 0], 0, S - 1)
-        neg = jnp.asarray(-jnp.inf, cd)
+        # FINITE sentinel, far below any real feature (PointMLP outputs are
+        # O(10)).  -inf here broke the packed 1x1/head block-diagonal dots:
+        # their zero blocks compute 0 * (-inf) = NaN, which poisons the
+        # VALID partner slot of every half-occupied z-pair (caught by
+        # test_z_pack_model_equivalence).  A finite sentinel keeps the
+        # padded-volume contract ("finite garbage at empty cells, consumers
+        # select by mask") without the full-volume -inf-replace select the
+        # round-4 fix needed (~3.3 ms/scan at the s1 shape).
+        neg = jnp.asarray(-1e30, cd)
 
         # z-pack the stride-1/2 stages ([X, Z, Y, C] -> [X, Z/2, Y, 2C]):
         # fills the 128-lane tile and runs convs as batched 2D pairs —
@@ -1145,18 +1160,18 @@ class DensePaSCoNet(nn.Module):
             # scatter pass (~14 ms/scan profiled).  Row-max + -inf select
             # fuse over one read of the volume.
             occ = jnp.max(grid_f, axis=-1) > neg
-            # Replace the -inf init at empty rows — ALWAYS, not only at
-            # train.  The padded-volume contract tolerates *finite* garbage
-            # at empty cells (consumers select by mask before any
-            # cell-mixing op), but non-finite garbage breaks the packed
-            # 1x1/head BLOCK-DIAGONAL dots: their zero blocks compute
-            # 0 * (-inf) = NaN, which poisons the VALID partner slot of
-            # every half-occupied z-pair.  (A round-4 tail change skipped
-            # this select at inference to save ~3.3 ms/scan; whether it
-            # survives depends on the XLA version folding structured zero
-            # blocks — on this round's XLA:CPU it produced NaN at ~94% of
-            # valid cells, caught by test_z_pack_model_equivalence.)
-            grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)
+            if train or S > 1:
+                # Zero the sentinel rows.  REQUIRED whenever S > 1: a cell
+                # occupied by one subnet but empty for another is mask-VALID,
+                # and enc_in mixes its subnet lane blocks — empty blocks
+                # must be zero like the reference's ``Augmenter.merge``
+                # densify (``augmenter.py:17-27``).  At S == 1 row-validity
+                # == lane-validity, so inference skips the full-volume
+                # select (~3.3 ms/scan): the finite sentinel is garbage the
+                # masked-consumer contract already covers (0 * sentinel == 0
+                # exactly, unlike the -inf form).  Training keeps it
+                # unconditionally so every magnitude stays O(1).
+                grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)
             grid_f = grid_f[:-1]
             x = grid_f.reshape(ex, tz, ey, 2 * S * m.f)
             # Occupancy is tiny (i1): unzip the packed row order back to
@@ -1173,7 +1188,11 @@ class DensePaSCoNet(nn.Module):
             flat_idx = jnp.where(in_box, subnet * n_cells + cell, S * n_cells)
             grid_f = scatter_max_rows(f.astype(cd), flat_idx, S * n_cells, neg)
             occ = jnp.max(grid_f, axis=-1) > neg
-            grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)[:-1]
+            if train or S > 1:
+                # See the packed branch: S > 1 mixes subnet lane blocks at
+                # enc_in, so empty blocks must be exact zeros.
+                grid_f = jnp.where(grid_f == neg, jnp.zeros((), cd), grid_f)
+            grid_f = grid_f[:-1]
             sub_mask = occ[:-1].reshape(S, ex, ez, ey)
             x = (
                 grid_f.reshape(S, n_cells, m.f)

@@ -56,7 +56,21 @@ def main() -> None:
         class_weight_vector, create_train_state, labelweights_for,
         scene_to_model_input, targets_to_device, train_step)
 
+    import dataclasses
+
     cfg = PaSCoConfig()
+    if cfg.scene.train_box_extent is not None:
+        # Pad/collate to the TRAIN crop box, like bench_train_step.py:66-69
+        # — collating to the full union box makes the train step itself a
+        # full-box program, which OOMs one chip (22.0 G needed vs 15.75 G;
+        # the reference likewise trains on random 0.8-crops,
+        # ``kitti_dataset.py:463-490``).  Weights are box-independent, so
+        # the saved ckpt benches at any inference box.
+        cfg = cfg.replace(
+            scene=dataclasses.replace(
+                cfg.scene, box_extent=cfg.scene.train_box_extent
+            )
+        )
     net = build_net(cfg)
     lw = labelweights_for(cfg, CLASS_FREQUENCIES)
     cw = jnp.asarray(
