@@ -598,6 +598,17 @@ class DenseEncStage(nn.Module):
             and lane_fold(x.shape[-1], x.shape[-1], x.shape[1]) == 1
         )
         xpad = None
+        # The stage plan (and therefore the padded buffers' y rounding) is
+        # computed BEFORE the fused down step so the down kernel can write
+        # its output directly in the chain's rounded layout.
+        plan = None
+        if fused:
+            from pasco_tpu.ops.pallas_conv import conv_plan
+
+            Yp1 = x.shape[2] // 2 if self.down else x.shape[2]
+            plan = conv_plan(
+                2 * ch, 2 * ch, T1 + 2, fused=True, X=X1, Y=Yp1
+            )
         if fused_down:
             from pasco_tpu.ops.dense_ops import maxpool2_mask
             from pasco_tpu.ops.pallas_down import down_padded_to_padded
@@ -610,6 +621,7 @@ class DenseEncStage(nn.Module):
             xpad = down_padded_to_padded(
                 prev_ctx[0], prev_ctx[1], jnp.any(new_mask, axis=1),
                 wdn, bdn, a1, a2, y_out=x.shape[2] // 2,
+                y_round=plan[1],
                 compute_dtype=self.compute_dtype or x.dtype,
             )
             mask = new_mask
@@ -627,18 +639,16 @@ class DenseEncStage(nn.Module):
             )
         if fused:
             from pasco_tpu.ops.pallas_conv import (
-                active_tiles, conv_plan, pad_stage, stage_mask8,
-                unpad_stage)
+                active_tiles, pad_stage, stage_mask8, unpad_stage)
 
             Y1 = x.shape[2] // 2 if fused_down else x.shape[2]
-            plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True)
-            m8 = stage_mask8(mask, 2 * ch)
+            m8 = stage_mask8(mask, 2 * ch, yt=plan[1])
             ctx = (
                 m8,
                 *active_tiles(mask, plan[0], plan[1], plan[2], plan[5]),
             )
             if xpad is None:
-                xpad = pad_stage(x)
+                xpad = pad_stage(x, yt=plan[1])
             for i in range(self.n_res):
                 xpad = Block(
                     ch, self.axis_name, self.compute_dtype,
@@ -731,6 +741,7 @@ class DenseDecoderStage(nn.Module):
 
             msk = msk_early
             X1, T1, Y1 = 2 * x.shape[0], 2 * x.shape[1], 2 * x.shape[2]
+            plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True, X=X1, Y=Y1)
             tok1 = jnp.zeros((1, 1, 1, 2 * ch), xm.dtype)
             a1, c1 = DenseBN(
                 self.axis_name, packed=True, name="up_bn"
@@ -745,12 +756,12 @@ class DenseDecoderStage(nn.Module):
             xpad = up_preamble_padded(
                 xm, skip, jnp.any(msk, axis=1), box.minimum, self.scale,
                 wd, bd, (a1, c1), (a2, c2), wr[0], br,
-                child_m8=stage_mask8(msk_child, 2 * ch),
+                child_m8=stage_mask8(msk_child, 2 * ch, yt=plan[1]),
+                y_round=plan[1],
                 compute_dtype=cd or xm.dtype,
             )
-            plan = conv_plan(2 * ch, 2 * ch, T1 + 2, fused=True)
             ctx = (
-                stage_mask8(msk, 2 * ch),
+                stage_mask8(msk, 2 * ch, yt=plan[1]),
                 *active_tiles(msk, plan[0], plan[1], plan[2], plan[5]),
             )
             for ri in range(self.n_res):
@@ -829,13 +840,14 @@ class DenseDecoderStage(nn.Module):
                 unpad_stage)
 
             plan = conv_plan(
-                x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True
+                x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True,
+                X=x.shape[0], Y=x.shape[2],
             )
             ctx = (
-                stage_mask8(msk, x.shape[-1]),
+                stage_mask8(msk, x.shape[-1], yt=plan[1]),
                 *active_tiles(msk, plan[0], plan[1], plan[2], plan[5]),
             )
-            xpad = pad_stage(x)
+            xpad = pad_stage(x, yt=plan[1])
             for ri in range(self.n_res):
                 xpad = Block(
                     ch, self.axis_name, cd, packed=True, pallas=True,
@@ -1030,11 +1042,14 @@ def fused_refine_one(x, keep, w1, aff, w2, b2, cd, xpad=None):
         active_tiles, conv_plan, fused_packed_conv, pad_stage,
         stage_mask8)
 
-    plan = conv_plan(x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True)
-    m8 = stage_mask8(keep, x.shape[-1])
+    plan = conv_plan(
+        x.shape[-1], x.shape[-1], x.shape[1] + 2, fused=True,
+        X=x.shape[0], Y=x.shape[2],
+    )
+    m8 = stage_mask8(keep, x.shape[-1], yt=plan[1])
     ids, n_act = active_tiles(keep, plan[0], plan[1], plan[2], plan[5])
     if xpad is None:
-        xpad = pad_stage(x)
+        xpad = pad_stage(x, yt=plan[1])
     g = fused_packed_conv(
         xpad, w1, m8, ids, n_act, out_padded=True, compute_dtype=cd,
         plan=plan,

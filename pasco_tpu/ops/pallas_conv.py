@@ -310,10 +310,28 @@ def pm_tap_weights(weight: jnp.ndarray):
     return w0, wpm
 
 
-# Scoped-VMEM budget for one packed-kernel program.  The TPU compiler
-# enforces a 16 MB scoped-vmem limit for custom-call stack allocations;
-# leave ~2 MB headroom for vregs/temporaries.
-_SCOPED_VMEM_BUDGET = 14 * 2**20
+# Scoped-VMEM budget for one packed-kernel program.  The TPU compiler's
+# DEFAULT scoped-vmem limit is 16 MB, but Mosaic accepts a per-kernel
+# override (``CompilerParams.vmem_limit_bytes``) up to the physical VMEM
+# (128 MB on v5e).  Every kernel in this family passes
+# :data:`_VMEM_LIMIT_BYTES`; the plan budget leaves headroom for Mosaic's
+# value-stack temporaries the byte models underestimate.
+_SCOPED_VMEM_BUDGET = 60 * 2**20
+_VMEM_LIMIT_BYTES = 100 * 2**20
+
+# Fixed y-halo rows per side of a padded chain buffer.  The y (sublane)
+# dim only supports tile-granular HBM slices, so the halo is one 16-row
+# sublane tile per side regardless of the plan's y-tile extent ``yt`` —
+# the wide DMA reads ``yt + 2*HY`` rows for ``yt`` produced.  Larger
+# ``yt`` therefore directly cuts the y over-read (16 -> 3x, 64 -> 1.5x),
+# which is what lets the fused convs beat the round-4 DMA wall.
+HY = 16
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT_BYTES
+    )
 
 
 def _pad128(v: int) -> int:
@@ -354,20 +372,30 @@ def band_rows(t_rows: int, p: int) -> int:
 
 
 def conv_plan(
-    ci2: int, co2: int, t_padded: int, fused: bool
+    ci2: int, co2: int, t_padded: int, fused: bool,
+    X: int = None, Y: int = None,
 ) -> Tuple[int, int, int, bool, bool, int]:
     """Pick ``(xw, yt, tb, double_buffer, slot_split, p)`` for a
     packed-conv stage so the kernel's VMEM scratch fits
-    :data:`_SCOPED_VMEM_BUDGET`.
+    :data:`_SCOPED_VMEM_BUDGET` while minimising HBM tile traffic.
 
     ``tb`` is the t-band height (:func:`band_rows`): each grid step
     computes one (xw, tb, yt) sub-block and the grid runs over ACTIVE
     (xy tile, band) pairs — :func:`active_tiles` needs (xw, yt, tb, p)
     from the same plan.  ``slot_split`` is availability-driven (per-slot
-    lane slices need Ci % 128 == 0); the (xw, double_buffer) ladder
-    trades DMA/compute overlap for footprint.  ``p`` is the stage's HBM
+    lane slices need Ci % 128 == 0).  ``p`` is the stage's HBM
     :func:`lane_fold` factor.  All convs of one stage share a plan (same
-    channel count), so active-tile ids can be computed once per stage.
+    channel count AND stage extents), so active-tile ids — and the
+    stage's padded-buffer y rounding (:func:`pad_stage` with the plan's
+    ``yt``) — are computed once per stage.
+
+    ``X``/``Y`` are the stage's spatial extents.  They drive the halo
+    over-read model: the wide DMA reads ``(xw+2, tb+2, yt+2*HY)`` per
+    ``(xw, tb, yt)`` tile, so the plan picks the feasible ``(xw, yt)``
+    with the least total bytes (x tiles must divide ``X``; y rounds up,
+    so any ``yt`` is legal).  ``X=None`` restricts ``xw`` to the legacy
+    8/4 ladder; ``Y=None`` pins ``yt=16`` (the legacy rounding every
+    pre-plan caller assumed).
     """
     ci, co = ci2 // 2, co2 // 2
     slot_split = ci % 128 == 0 and co % 128 == 0
@@ -378,16 +406,17 @@ def conv_plan(
         ) * 2
     else:
         wbytes = 2 * 3 * (3 * ci2) * _pad128(co2) * 2
-    yt = 16
     t_out = t_padded - 2
     p = lane_fold(ci2, co2, t_out)
     tb = band_rows(t_out // p, p)         # folded interior rows per step
     tl = tb * p                           # logical t rows per step
-    for xw, db in ((8, True), (8, False), (4, True), (4, False)):
-        inb = (2 if db else 1) * (xw + 2) * (tb + 2) * 3 * yt * p * ci2 * 2
+
+    def fits(xw, yt, db):
+        yw = yt + 2 * HY                  # wide-buffer y rows per tile
+        inb = (2 if db else 1) * (xw + 2) * (tb + 2) * yw * p * ci2 * 2
         mb = (inb // 2) if fused else 0      # int8 mask mirrors the input
         # unpacked compute view (lane-padded in VMEM like all buffers)
-        comp = (xw + 2) * (tl + 2) * 3 * yt * _pad128(ci2) * 2 if p > 1 else 0
+        comp = (xw + 2) * (tl + 2) * yw * _pad128(ci2) * 2 if p > 1 else 0
         shift = (xw + 2) * (tl + 2) * yt * 3 * ci2 * 2
         if not slot_split:                   # + the combined-window buffer
             shift += (xw + 2) * tl * yt * 3 * ci2 * 2
@@ -395,13 +424,45 @@ def conv_plan(
         skipb = outb if fused else 0
         accb = xw * tl * yt * _pad128(co2) * 4
         total = inb + mb + comp + shift + outb + skipb + accb + wbytes
-        if total <= _SCOPED_VMEM_BUDGET:
-            return xw, yt, tb, db, slot_split, p
-    return 4, yt, tb, False, slot_split, p
+        return total <= _SCOPED_VMEM_BUDGET
+
+    xws = (
+        [w for w in (16, 8, 4) if X % w == 0]
+        if X is not None
+        else [8, 4]
+    )
+    # yt candidates stay 32-multiples (plus the legacy 16): the int8 mask
+    # DMA offsets are yi*yt, and 48 breaks the (32, 128) int8 tile
+    # alignment — measured +28% on the s4 stages when 48 was allowed.
+    yts = (64, 32, 16) if Y is not None else (16,)
+    best = None
+    for yt in yts:
+        nty = -(-(Y if Y is not None else yt) // yt)   # y tiles (rounded)
+        for xw in xws:
+            db = True
+            if not fits(xw, yt, db):
+                db = False
+                if not fits(xw, yt, db):
+                    continue
+            ntx = (X // xw) if X is not None else 1
+            vol = (
+                ntx * (xw + 2) * nty * (yt + 2 * HY)
+                if X is not None
+                else (xw + 2) * (yt + 2 * HY) * nty / xw
+            )
+            # Single-buffered tiles serialise DMA with compute — charge
+            # them ~1.5x so a smaller double-buffered tile wins unless
+            # the wide tile's traffic advantage is real.
+            key = (vol * (1.0 if db else 1.5), yt, xw)
+            if best is None or key < best[0]:
+                best = (key, (xw, yt, tb, db, slot_split, p))
+    if best is not None:
+        return best[1]
+    return 4, 16, tb, False, slot_split, p
 
 
 def _tap_dots(
-    ib,                       # VMEM value [xw+2, Tp, 3*yt, ci2] (masked,
+    ib,                       # VMEM value [xw+2, Tp, yt+2*HY, ci2] (masked,
     #                           unless ``pro`` applies the prologue here)
     shift_bufs,               # tuple of shift scratch refs
     w_refs,                   # tuple of weight refs (layout per slot_split)
@@ -413,7 +474,7 @@ def _tap_dots(
     slot_split: bool,
     pro=None,                 # (a|None, c|None, relu, mask value): fused
     #                           prologue applied on the dy slices — the
-    #                           shift copies touch exactly the 18 of 3*yt
+    #                           shift copies touch exactly the 3 y-shifted of the
     #                           wide-buffer y columns the taps read, so
     #                           riding the prologue on them skips a full
     #                           wide-tile VPU pass + write-back per conv
@@ -423,7 +484,9 @@ def _tap_dots(
     n = xw * t_out * yt
 
     def _pslice(dy):
-        s = ib[:, :, yt - 1 + dy : 2 * yt - 1 + dy]
+        # Interior y rows start at HY in the wide buffer (fixed 16-row
+        # halo tile per side, independent of yt).
+        s = ib[:, :, HY - 1 + dy : HY - 1 + yt + dy]
         if pro is None:
             return s
         a, c, relu, mb = pro
@@ -432,7 +495,7 @@ def _tap_dots(
         if relu:
             s = jnp.maximum(s, 0)
         return jnp.where(
-            mb[:, :, yt - 1 + dy : 2 * yt - 1 + dy] != 0, s, 0
+            mb[:, :, HY - 1 + dy : HY - 1 + yt + dy] != 0, s, 0
         )
 
     if slot_split:
@@ -548,11 +611,11 @@ def _decode_tid(tid, by: int, nb: int, xw: int, yt: int, tb: int):
 def _packed_kernel(
     ids_ref,                # SMEM [n_tiles*nb] flat (tile, band) id
     n_active_ref,           # SMEM [1]
-    xp_ref,                 # HBM [X+2, T/p+2, Y+2yt, p*2Ci] padded masked
+    xp_ref,                 # HBM [X+2, T/p+2, Y+2*HY, p*2Ci] padded masked
     w_refs,                 # VMEM weight refs (layout per slot_split)
     bias_ref,               # VMEM [1, 2Co] (zeros when no bias)
     out_ref,                # HBM [X, T/p, Y, p*2Co]
-    in_bufs,                # VMEM [nbuf, xw+2, tb+2, 3*yt, p*2Ci]
+    in_bufs,                # VMEM [nbuf, xw+2, tb+2, yt+2*HY, p*2Ci]
     shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
     out_buf,                # VMEM [xw, tb, yt, p*2Co]
     in_sems,                # DMA sems (nbuf,)
@@ -572,7 +635,7 @@ def _packed_kernel(
     t_out = tb * p          # logical t rows per step
 
     def in_dma(slot, t_idx):
-        # One wide DMA covering the tile plus a full y-tile of halo per
+        # One wide DMA covering the tile plus ONE 16-row halo tile per
         # side: HBM slices must be sublane(Y)-tile aligned, so the +-1 y
         # taps are taken as VMEM-local slices instead.  The t band rides a
         # dynamic offset on a free (untiled) dim: padded rows [t0, t0+tb+2)
@@ -581,7 +644,7 @@ def _packed_kernel(
         return pltpu.make_async_copy(
             xp_ref.at[
                 pl.ds(x0, xw + 2), pl.ds(t0, tb + 2),
-                pl.ds(y0, 3 * yt),
+                pl.ds(y0, yt + 2 * HY),
             ],
             in_bufs.at[slot],
             in_sems.at[slot],
@@ -695,7 +758,7 @@ def _packed_conv_call(
     same (xw, yt, tb, p)."""
     Xp, Tpf, Yp, cif = xp.shape
     ci2 = cif // p
-    X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * yt
+    X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * HY
     tl = tb * p                        # logical t rows per grid step
     co2 = weights[0].shape[-1]
     by = Y // yt
@@ -725,7 +788,7 @@ def _packed_conv_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, xw + 2, tb + 2, 3 * yt, cif), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, tb + 2, yt + 2 * HY, cif), xp.dtype),
             *shift_shapes,
             pltpu.VMEM((xw, tb, yt, p * co2), xp.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -753,7 +816,7 @@ def _packed_conv_call(
         # operand order: ids, n_active, xp, *weights, bias2, out0
         input_output_aliases={4 + nw: 0},
         out_shape=jax.ShapeDtypeStruct((X, T // p, Y, p * co2), xp.dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(ids, n_active, xp, *weights, bias2, out0)
 
 
@@ -776,15 +839,15 @@ def _packed_conv_call(
 
 def _fused_kernel(
     ids_ref, n_active_ref,
-    xp_ref,                 # HBM [X+2, T+2, Y+2yt, 2Ci] padded input
-    m_ref,                  # HBM [X+2, T+2, Y+2yt, 2Ci] int8 mask
+    xp_ref,                 # HBM [X+2, T+2, Y+2*HY, 2Ci] padded input
+    m_ref,                  # HBM [X+2, T+2, Y+2*HY, 2Ci] int8 mask
     w_refs,                 # VMEM weight refs (layout per slot_split)
     aff_ref,                # VMEM [2, 2Ci] f32 (a, c) rows
     bias_ref,               # VMEM [1, 2Co] f32
-    skip_ref,               # HBM padded [X+2, T+2, Y+2yt, 2Co] (or dummy)
+    skip_ref,               # HBM padded [X+2, T+2, Y+2*HY, 2Co] (or dummy)
     out_ref,                # HBM padded or interior output
-    in_bufs,                # VMEM [nbuf, xw+2, tb+2, 3*yt, 2Ci]
-    m_bufs,                 # VMEM [nbuf, xw+2, tb+2, 3*yt, 2Ci] int8
+    in_bufs,                # VMEM [nbuf, xw+2, tb+2, yt+2*HY, 2Ci]
+    m_bufs,                 # VMEM [nbuf, xw+2, tb+2, yt+2*HY, 2Ci] int8
     shift_bufs,             # VMEM y-shift scratch (1 or 2 refs)
     skip_buf,               # VMEM [xw, tb, yt, 2Co]
     out_buf,                # VMEM [xw, tb, yt, 2Co]
@@ -803,7 +866,7 @@ def _fused_kernel(
         return pltpu.make_async_copy(
             src_ref.at[
                 pl.ds(x0, xw + 2), pl.ds(t0, tb + 2),
-                pl.ds(y0, 3 * yt),
+                pl.ds(y0, yt + 2 * HY),
             ],
             bufs.at[slot],
             sems.at[slot],
@@ -824,7 +887,7 @@ def _fused_kernel(
             skip_dma = pltpu.make_async_copy(
                 skip_ref.at[
                     pl.ds(x0 + 1, xw), pl.ds(1 + t0, tb),
-                    pl.ds(yt + y0, yt),
+                    pl.ds(HY + y0, yt),
                 ],
                 skip_buf,
                 skip_sem,
@@ -856,7 +919,7 @@ def _fused_kernel(
         # the chain's HBM buffers are uninitialised outside active tiles,
         # and NaN*0 would be NaN.  For p == 1 the prologue rides the
         # y-shift copies inside _tap_dots — they touch exactly the 18 of
-        # 3*yt wide-buffer columns the taps read, so fusing it there
+        # wide-buffer column windows the taps read, so fusing it there
         # skips a full wide-tile VPU pass + write-back per conv.  The
         # lane-folded path (p > 1) keeps the whole-buffer form (the
         # affine rows arrive pre-tiled to the folded lane count).
@@ -893,7 +956,7 @@ def _fused_kernel(
         )
         if out_padded:
             dst = out_ref.at[
-                pl.ds(x0 + 1, xw), pl.ds(1 + t0, tb), pl.ds(yt + y0, yt)
+                pl.ds(x0 + 1, xw), pl.ds(1 + t0, tb), pl.ds(HY + y0, yt)
             ]
         else:
             dst = out_ref.at[pl.ds(x0, xw), pl.ds(t0, tb), pl.ds(y0, yt)]
@@ -916,7 +979,7 @@ def _fused_conv_call(
 ):
     Xp, Tpf, Yp, cif = xp.shape
     ci2 = cif // p
-    X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * yt
+    X, T, Y = Xp - 2, (Tpf - 2) * p, Yp - 2 * HY
     tl = tb * p                        # logical t rows per grid step
     co2 = weights[0].shape[-1]
     by = Y // yt
@@ -954,8 +1017,8 @@ def _fused_conv_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, xw + 2, tb + 2, 3 * yt, cif), xp.dtype),
-            pltpu.VMEM((nbuf, xw + 2, tb + 2, 3 * yt, cif), jnp.int8),
+            pltpu.VMEM((nbuf, xw + 2, tb + 2, yt + 2 * HY, cif), xp.dtype),
+            pltpu.VMEM((nbuf, xw + 2, tb + 2, yt + 2 * HY, cif), jnp.int8),
             *shift_shapes,
             pltpu.VMEM((xw, tb, yt, p * co2), xp.dtype),
             pltpu.VMEM((xw, tb, yt, p * co2), xp.dtype),
@@ -991,7 +1054,7 @@ def _fused_conv_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, xp.dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(ids, n_active, xp, m8, *weights, aff, bias2, skip)
 
 
@@ -1025,7 +1088,7 @@ def stage_mask8(
     channels2: int,           # 2C lane count of the stage
     yt: int = 16,
 ) -> jnp.ndarray:
-    """Lane-expanded padded int8 mask [X+2, T/p+2, Y+2yt, p*2C] for the
+    """Lane-expanded padded int8 mask [X+2, T/p+2, Y+2*HY, p*2C] for the
     fused kernel's prologue; built once per stage and shared by all its
     convs.  Narrow stages lane-fold p z-pair rows (:func:`lane_fold`);
     the zero t'-padding doubles as the fold's surplus-slot zeros."""
@@ -1038,7 +1101,7 @@ def stage_mask8(
         # directly.  The previous concat(broadcast, broadcast) + convert +
         # pad chain ran as three separate ~254 MB HBM passes at the s1
         # shape (profiled at ~15 ms/scan across the three s1 builds).
-        mp = jnp.pad(mask, ((1, 1), (2, 2), (yt, yt + (-Y) % yt)))
+        mp = jnp.pad(mask, ((1, 1), (2, 2), (HY, HY + (-Y) % yt)))
         Xp, Zp, Yp = mp.shape
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (Xp, Zp // 2, Yp, channels2), 3
@@ -1055,30 +1118,32 @@ def stage_mask8(
         axis=-1,
     ).astype(jnp.int8)
     m = _fold_t(m, p)
-    return jnp.pad(m, ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0)))
+    return jnp.pad(m, ((1, 1), (1, 1), (HY, HY + (-Y) % yt), (0, 0)))
 
 
 def pad_stage(x: jnp.ndarray, yt: int = 16) -> jnp.ndarray:
-    """[X, T, Y, 2C] -> padded [X+2, T/p+2, Ypad+2yt, p*2C] (fused-kernel
-    input; p = :func:`lane_fold`).  Y additionally rounds UP to a tile
-    multiple so stages whose extent is not 16-aligned (e.g. stride 4 of a
-    352 box -> 88) still run the fused kernels; the extra cells are
-    mask/tile-dead."""
+    """[X, T, Y, 2C] -> padded [X+2, T/p+2, Ypad+2*HY, p*2C] (fused-kernel
+    input; p = :func:`lane_fold`).  The y halo pad is the fixed
+    :data:`HY` tile per side; Y additionally rounds UP to a multiple of
+    the STAGE PLAN's ``yt`` (pass ``conv_plan(...)[1]``) so the banded
+    grid tiles evenly — the rounding cells are mask/tile-dead."""
     c2 = x.shape[-1]
     p = lane_fold(c2, c2, x.shape[1])
     xf = _fold_t(x, p)
     return jnp.pad(
-        xf, ((1, 1), (1, 1), (yt, yt + (-x.shape[2]) % yt), (0, 0))
+        xf, ((1, 1), (1, 1), (HY, HY + (-x.shape[2]) % yt), (0, 0))
     )
 
 
 def unpad_stage(
-    xp: jnp.ndarray, yt: int = 16, y: int = None, c2: int = None
+    xp: jnp.ndarray, y: int = None, c2: int = None
 ) -> jnp.ndarray:
     """Interior of a padded stage buffer (``y`` = unpadded Y extent; None
-    means Y was already a tile multiple).  ``c2`` = the stage's logical
-    lane count — pass it for stages that may be lane-folded."""
-    inner = xp[1:-1, 1:-1, yt:-yt] if y is None else xp[1:-1, 1:-1, yt : yt + y]
+    means Y had no rounding).  ``c2`` = the stage's logical lane count —
+    pass it for stages that may be lane-folded."""
+    inner = (
+        xp[1:-1, 1:-1, HY:-HY] if y is None else xp[1:-1, 1:-1, HY : HY + y]
+    )
     if c2 is None or xp.shape[-1] == c2:
         return inner
     return _unfold_t(inner, xp.shape[-1] // c2, c2)
@@ -1092,7 +1157,7 @@ def _plan_weights(weight: jnp.ndarray, slot_split: bool, cd):
 
 
 def fused_packed_conv(
-    xp: jnp.ndarray,           # [X+2, T+2, Y+2yt, 2Ci] padded bf16
+    xp: jnp.ndarray,           # [X+2, T+2, Y+2*HY, 2Ci] padded bf16
     weight: jnp.ndarray,       # [27, Ci, Co]
     mask8: jnp.ndarray,        # from stage_mask8 (matching 2Ci)
     ids: jnp.ndarray,
@@ -1120,7 +1185,11 @@ def fused_packed_conv(
     p = xp.shape[-1] // (2 * ci)        # lane fold of the chain buffers
     t_logical = (xp.shape[1] - 2) * p
     if plan is None:
-        plan = conv_plan(2 * ci, 2 * co, t_logical + 2, fused=True)
+        # No-plan calls can't recover the unrounded Y, so they pin the
+        # legacy yt=16 rounding (any 16-multiple Y divides evenly).
+        plan = conv_plan(
+            2 * ci, 2 * co, t_logical + 2, fused=True, X=xp.shape[0] - 2
+        )
     xw, yt, tb, db, slot_split = plan[:5]
     weights = _plan_weights(weight, slot_split, cd)
     if affine is not None:
@@ -1170,15 +1239,17 @@ def block_sparse_packed_conv(
     X, T, Y, c2 = x.shape
     cd = compute_dtype or x.dtype
     co = weight.shape[-1]
-    xw, yt, tb, db, slot_split = conv_plan(c2, 2 * co, T + 2, fused=False)[:5]
+    xw, yt, tb, db, slot_split = conv_plan(
+        c2, 2 * co, T + 2, fused=False, X=X, Y=Y
+    )[:5]
     assert X % xw == 0, (x.shape, xw)
     p = lane_fold(c2, 2 * co, T)
     xm = _mask_slots(x, mask).astype(cd)
-    # y pads a full tile per side (plus rounding to a tile multiple) so
-    # every tile's wide halo DMA slice stays sublane-tile aligned (Mosaic
-    # requires it for HBM slices).
+    # y pads one 16-row halo tile per side (plus rounding to a plan-yt
+    # multiple) so every tile's wide halo DMA slice stays sublane-tile
+    # aligned (Mosaic requires it for HBM slices).
     xp = jnp.pad(
-        _fold_t(xm, p), ((1, 1), (1, 1), (yt, yt + (-Y) % yt), (0, 0))
+        _fold_t(xm, p), ((1, 1), (1, 1), (HY, HY + (-Y) % yt), (0, 0))
     )
     weights = _plan_weights(weight, slot_split, cd)
     b2 = (

@@ -293,11 +293,13 @@ def _up_call(
     # Padded chain layout [X+2, T+2, ypad, 2co]; non-active tiles and the
     # border stay UNINITIALISED — the chain prologue masks by its int8
     # mask volume, exactly as with pad_stage + uninitialised chain bufs.
+    from pasco_tpu.ops.pallas_conv import _compiler_params
+
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((X + 2, T + 2, ypad, co2), skip.dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(ids, n_active, gmin, parent, skip, cm8, wk, bd16, aff1, aff2, wr2, br2)
 
 
@@ -315,6 +317,7 @@ def up_preamble_padded(
     br: jnp.ndarray,              # [Co] resize bias
     child_m8: jnp.ndarray = None,  # padded int8 CHILD mask (stage_mask8 of
     #                                upsample2_mask(parent_keep) & bbox)
+    y_round: int = 16,             # consumer chain's y rounding (plan yt)
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Padded chain input [X+2, T+2, Y + 2*16 (+y rounding), 2Co].
@@ -336,9 +339,11 @@ def up_preamble_padded(
     # must be built with the identical x extent.
     xw = up_plan(ci2, 2 * co, T)
     assert Y % YT == 0 and X % xw == 0, (X, Y)
-    # The chain pads y by a 16-tile each side plus rounding; the kernel's
-    # interior offset is 16, so ypad must match pad_stage's shape.
-    ypad = Y + (-Y) % 16 + 32
+    # The chain pads y by a 16-row halo tile each side plus rounding to
+    # the CONSUMER plan's yt (``y_round``); the kernel's interior offset
+    # is 16, so ypad must match pad_stage's shape.  Rounding rows beyond
+    # the write tiles stay uninitialised (mask-dead for the chain).
+    ypad = Y + (-Y) % y_round + 32
 
     wk = pack_deconv_weight(wd, compute_dtype)
     bd16 = jnp.tile(

@@ -229,13 +229,15 @@ def _down_call(xp, m8, wk, b2, aff, ids, n_active, ypad_out, xw, db):
             T=T, by=by, xw=xw, db=db,
         )
 
+    from pasco_tpu.ops.pallas_conv import _compiler_params
+
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (X2 + 2, T2 + 2, ypad_out, co2), xp.dtype
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(ids, n_active, xp, m8, wk, b2, aff)
 
 
@@ -248,13 +250,17 @@ def down_padded_to_padded(
     aff1: Tuple[jnp.ndarray, jnp.ndarray],   # bn1 (a, c) [2Co] f32
     aff2: Tuple[jnp.ndarray, jnp.ndarray],   # bn2 (a, c) [2Co] f32
     y_out: int,                # unpadded output Y extent
+    y_round: int = 16,         # consumer chain's y rounding (plan yt)
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Padded next-chain input [X/2+2, T/2+2, y_out(+rounding)+32, 2Co].
 
     Cells outside the new mask hold garbage — every consumer (the next
     chain's prologue) masks; the next stage's ``stage_mask8``/actives are
-    built from the new mask in XLA as before.
+    built from the new mask in XLA as before.  ``y_round`` must be the
+    CONSUMER plan's ``yt`` so the output buffer matches its
+    ``pad_stage`` rounding; rounding rows beyond the kernel's write
+    range stay uninitialised (mask-dead for the consumer).
     """
     from pasco_tpu.ops.pallas_conv import active_tiles_xy
 
@@ -267,11 +273,20 @@ def down_padded_to_padded(
             aff2[0].astype(jnp.float32), aff2[1].astype(jnp.float32),
         ]
     )
-    ypad_out = y_out + (-y_out) % 16 + 32
+    # y_round is a 16-multiple, so this matches the consumer's pad_stage
+    # shape exactly (and always covers the kernel's 16-row write tiles).
+    ypad_out = y_out + (-y_out) % y_round + 32
     c2 = xpad.shape[-1]
     T = xpad.shape[1] - 2
     xw, db = down_plan(c2, 2 * co, T)
-    ids, n_active = active_tiles_xy(new_occ_xy, xw, YT)
+    # The kernel's y-tile count comes from the PRODUCER buffer's rounded
+    # interior (Ypad_in - 32) / 2; pad the occupancy map to that extent so
+    # the flat tile ids decode with the same ``by``.
+    y2h = (xpad.shape[2] - 32) // 2
+    occ = jnp.pad(
+        new_occ_xy, ((0, 0), (0, y2h - new_occ_xy.shape[1]))
+    )
+    ids, n_active = active_tiles_xy(occ, xw, YT)
     from pasco_tpu.ops.pallas_batch import cached_sequential_vmap
 
     return cached_sequential_vmap(_down_call, ypad_out, xw, db)(

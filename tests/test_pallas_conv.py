@@ -83,9 +83,24 @@ def test_block_sparse_packed_conv_matches_xla():
         got = np.asarray(
             unpack_z2(block_sparse_packed_conv(pack_z2(x), w, mask, bias=b))
         )
-    tile_act = mask_np.any(1).reshape(X // 8, 8, Y // 16, 16).any((1, 3))
-    act = np.repeat(np.repeat(tile_act, 8, 0), 16, 1)
-    sel = np.broadcast_to(act[:, None, :], (X, Z, Y))
+    # The exact-zero region is plan-dependent: cells in never-visited
+    # (xw, 2*tb, yt) blocks stay zero (the donated-zeros contract).
+    from pasco_tpu.ops.pallas_conv import conv_plan
+
+    xw, yt, tb = conv_plan(
+        2 * C, 2 * D, Z // 2 + 2, fused=False, X=X, Y=Y
+    )[:3]
+    zb = 2 * tb
+    Yr = Y + (-Y) % yt
+    mp = np.pad(mask_np, ((0, 0), (0, 0), (0, Yr - Y)))
+    tile_act = (
+        mp.reshape(X // xw, xw, Z // zb, zb, Yr // yt, yt)
+        .any((1, 3, 5))
+    )
+    act = np.repeat(
+        np.repeat(np.repeat(tile_act, xw, 0), zb, 1), yt, 2
+    )[:, :, :Y]
+    sel = act
     np.testing.assert_allclose(got[sel], ref[sel], rtol=1e-4, atol=1e-4)
     assert np.all(got[~sel] == 0)
 
@@ -272,21 +287,32 @@ def test_fused_refiner_matches_xla_per_subnet():
 def test_conv_plan_ladder():
     from pasco_tpu.ops.pallas_conv import conv_plan
 
-    # tiny channels: dense form, full tile, double-buffered
+    # tiny channels, no extents: legacy 8x16 tile, double-buffered
     assert conv_plan(8, 8, 6, True) == (8, 16, 4, True, False, 1)
-    # s1 flagship (64-ch slots): dense form (lane padding makes the
-    # split a wash), full tile, t-banded (t_out=16 -> tb=4)
+    # s1 flagship (64-ch slots), no extents: dense form (lane padding
+    # makes the split a wash), yt pinned to the legacy 16 rounding
     xw, yt, tb, db, ss, p = conv_plan(128, 128, 18, True)
     assert (xw, yt, tb, ss) == (8, 16, 4, False) and db
+    # s1 flagship WITH extents: the wide-tile plan (xw divides X, large
+    # yt cuts the fixed 16-row halo's relative over-read)
+    xw, yt, tb, db, ss, p = conv_plan(128, 128, 18, True, X=352, Y=352)
+    assert X_DIVIDES(352, xw) and yt > 16 and db and tb == 4
+    # s4 odd extents: xw must divide X=88 (16 does not)
+    xw, yt, tb, db, ss, p = conv_plan(512, 512, 6, True, X=88, Y=88)
+    assert 88 % xw == 0
     # s2 (128-ch slots): slot-split available, banded (t_out=8 -> tb=4)
     assert conv_plan(256, 256, 10, True)[2] == 4
     assert conv_plan(256, 256, 10, True)[4] is True
     # lane-fold factor rides the plan (active_tiles needs it)
     assert conv_plan(32, 32, 18, True)[5] == 4
-    # s4 (256-ch slots): slot-split + a reduced plan that fits the 16 MB
-    # scoped-VMEM limit (the dense-form weight alone is 14.2 MB there)
+    # s4 (256-ch slots): slot-split; the raised scoped-VMEM limit
+    # (vmem_limit_bytes) lets the full 8-wide double-buffered tile fit
     xw, yt, tb, db, ss, p = conv_plan(512, 512, 6, True)
-    assert ss is True and xw == 4
+    assert ss is True and xw == 8 and db
+
+
+def X_DIVIDES(x, w):
+    return x % w == 0
 
 
 @pytest.mark.slow  # multi-minute-class compile; fast tier keeps one guard per kernel family
@@ -560,16 +586,24 @@ def test_packed_conv_t_banded_grid():
         )
         got_b = block_sparse_packed_conv(msel(x), w, mask, bias=b)
 
-    # expected active blocks: band of 4 t rows (8 z) per (8, 16) xy tile
+    # expected active blocks: band of 4 t rows (8 z) per (xw, yt) xy tile
     blk = mask_np.reshape(X // xw, xw, 2, 8, Y // yt, yt).any((1, 3, 5))
-    act = np.repeat(np.repeat(np.repeat(
-        blk, xw, 0), 4, 1), yt, 2)               # [X, T, Y]
     assert 0 < blk.sum() < blk.size              # genuinely banded
     mvalid = np.asarray(msel(jnp.ones((X, T, Y, 2 * C)))) > 0
     for got, ref in ((got_f, ref_f), (got_b, ref_b)):
         d = np.abs(np.asarray(got) - np.asarray(ref))
         assert d[mvalid].max() < 2e-3, d[mvalid].max()
-    # non-fused kernel: exact zeros at inactive (tile, band) blocks
+    # non-fused kernel: exact zeros at inactive (tile, band) blocks —
+    # block_sparse_packed_conv computes its own extent-aware plan, so
+    # the zero pattern is derived from THAT plan's tiling.
+    xwb, ytb, tbb = conv_plan(2 * C, 2 * C, T + 2, fused=False, X=X, Y=Y)[:3]
+    zbb = 2 * tbb
+    blk_b = (
+        mask_np.reshape(X // xwb, xwb, Z // zbb, zbb, Y // ytb, ytb)
+        .any((1, 3, 5))
+    )
+    act_b = np.repeat(np.repeat(np.repeat(
+        blk_b, xwb, 0), tbb, 1), ytb, 2)         # [X, T, Y]
     gb = np.asarray(got_b)
-    assert np.all(gb[~act] == 0)
-    assert np.abs(gb[act]).max() > 0
+    assert np.all(gb[~act_b] == 0)
+    assert np.abs(gb[act_b]).max() > 0
